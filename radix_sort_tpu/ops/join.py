@@ -1,0 +1,118 @@
+"""Radix-partitioned hash join (build + probe) — BASELINE.json config 4.
+
+TPU-native design.  A classical hash join does random-access probes into a
+hash table; TPUs punish random access, so the probe is re-designed around the
+engine's own sort machinery (SURVEY.md §7 M3):
+
+  build:  radix-sort the build side by key (our LSD sort — this *is* the
+          radix partitioning, taken to its fixed point).
+  probe:  for every probe row, binary-search the sorted build keys with a
+          vectorized, sort-friendly ``searchsorted``; runs of duplicate build
+          keys are expanded per match.
+  emit:   matched pairs are compacted (same scan+scatter primitive as
+          filter) into a static-capacity output table.
+
+``radix_partition`` (ops/partition.py) is exposed separately and used by the
+distributed join to split both tables by key digit across chips before this
+single-chip kernel runs per partition (parallel/dist_ops.py).
+
+Output sizing: inner-join output is data-dependent; capacity must be given
+statically (``out_capacity``, default = probe capacity x ``expand``).  If the
+true match count exceeds capacity the result reports ``overflow`` = True and
+truncates — the same static-shape discipline the distributed shuffle uses.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dtypes
+from ..config import SortConfig, DEFAULT_CONFIG
+from ..table import Table
+from . import partition, sort as sort_ops
+
+
+def _searchsorted_left(sorted_u: jnp.ndarray, queries_u: jnp.ndarray):
+    """Vectorized lower-bound on TPU-friendly compare-based method."""
+    return jnp.searchsorted(sorted_u, queries_u, side="left", method="sort")
+
+
+def hash_join(probe: Table, build: Table, key: str,
+              out_capacity: int | None = None,
+              max_duplicates: int = 1,
+              suffixes=("", "_r"),
+              config: SortConfig = DEFAULT_CONFIG):
+    """Inner join ``probe`` ⋈ ``build`` on column ``key``.
+
+    ``max_duplicates`` bounds how many build rows may share one key (the
+    per-key fanout); output capacity defaults to
+    ``probe.capacity * max_duplicates``.
+
+    Returns ``(table, stats)`` where stats carries jit-safe device scalars
+    ``match_count`` and ``overflow`` (true match count exceeded capacity or a
+    key's duplicate run exceeded max_duplicates).
+    """
+    if out_capacity is None:
+        out_capacity = probe.capacity * max_duplicates
+
+    pk, bk = probe[key], build[key]
+    if pk.dtype != bk.dtype:
+        raise ValueError(f"join key dtypes differ: {pk.dtype} vs {bk.dtype}")
+
+    # ---- build phase: sort build side by biased key, padding last.
+    bu = dtypes.to_sortable_unsigned(bk)
+    sent = dtypes._np_scalar(np.dtype(bu.dtype),
+                             dtypes.sentinel_max_unsigned(bu.dtype))
+    bu = jnp.where(build.valid_mask(), bu, sent)
+    b_names = build.column_names
+    bu_sorted, b_sorted = sort_ops.sort_kv(
+        bu, {n: build.columns[n] for n in b_names}, config=config)
+
+    # ---- probe phase: lower bound of each probe key in the sorted build.
+    pu = dtypes.to_sortable_unsigned(pk)
+    lo = _searchsorted_left(bu_sorted, pu).astype(jnp.int32)  # (P,)
+
+    P = probe.capacity
+    Bcap = build.capacity
+    probe_valid = probe.valid_mask()
+
+    # Expand each probe row over up to max_duplicates consecutive build rows.
+    offs = jnp.arange(max_duplicates, dtype=jnp.int32)            # (D,)
+    cand = jnp.minimum(lo[:, None] + offs[None, :], Bcap - 1)     # (P, D)
+    cand_keys = bu_sorted[cand.reshape(-1)].reshape(P, max_duplicates)
+    match = jnp.logical_and(cand_keys == pu[:, None],
+                            probe_valid[:, None])                 # (P, D)
+    # Guard duplicate-capped overflow: a run longer than max_duplicates means
+    # the D-th candidate still matches — detect for the overflow flag.
+    over_cand = jnp.minimum(lo + max_duplicates, Bcap - 1)
+    dup_overflow = jnp.any(jnp.logical_and(
+        bu_sorted[over_cand] == pu,
+        jnp.logical_and(probe_valid, lo + max_duplicates < Bcap)))
+
+    # ---- emit: flatten (P, D) candidates, compact matches to the front.
+    flat_match = match.reshape(-1)
+    probe_idx = jnp.repeat(jnp.arange(P, dtype=jnp.int32), max_duplicates)
+    build_idx = cand.reshape(-1)
+
+    arrays = (probe_idx, build_idx)
+    (pidx, bidx), n_match = partition.compact_mask(flat_match, arrays)
+    n_out = jnp.minimum(n_match, out_capacity)
+    pidx = pidx[:out_capacity]
+    bidx = bidx[:out_capacity]
+
+    out_cols = {}
+    for n in probe.column_names:
+        name = n + suffixes[0]
+        out_cols[name] = probe.columns[n][pidx]
+    for n in b_names:
+        name = n + suffixes[1] if (n + suffixes[0]) in out_cols else n
+        out_cols[name] = b_sorted[n][bidx]
+
+    out = Table(out_cols, num_rows=n_out)
+    stats = {
+        "match_count": n_match,
+        "overflow": jnp.logical_or(n_match > out_capacity, dup_overflow),
+    }
+    return out, stats

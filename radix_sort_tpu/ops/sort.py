@@ -79,8 +79,10 @@ def _radix_pipeline(keys_u: jnp.ndarray, payloads, config: SortConfig,
     return arrays[0], arrays[1:]
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n"))
-def _sort_biased_jit(keys_u, payloads, config: SortConfig, n: int):
+def _radix_engine_biased(keys_u, payloads, config: SortConfig):
+    """Trace-level radix sort of biased unsigned keys: pad → passes → slice.
+    Usable inside jit/shard_map (n = static shape)."""
+    n = keys_u.shape[0]
     total_bits = dtypes.key_bits(keys_u.dtype)
     padded = config.padded_size(n)
     sent = dtypes._np_scalar(np.dtype(keys_u.dtype),
@@ -89,6 +91,29 @@ def _sort_biased_jit(keys_u, payloads, config: SortConfig, n: int):
     pls = tuple(_pad_1d(p, padded, 0) for p in payloads)
     ku, pls = _radix_pipeline(ku, pls, config, total_bits)
     return ku[:n], tuple(p[:n] for p in pls)
+
+
+def sort_biased_kv(keys_u, payloads, config: SortConfig = DEFAULT_CONFIG):
+    """Engine-dispatched sort of already-biased unsigned keys + payload
+    tuple.  Trace-level (no jit wrapper): the building block the distributed
+    layer calls inside shard_map."""
+    engine = _dispatch_engine(config.engine)
+    if engine == "xla_sort":
+        return _xla_sort_engine(keys_u, payloads, keys_u.shape[0])
+    if engine == "xla_radix":
+        return _radix_engine_biased(keys_u, tuple(payloads), config)
+    if engine == "pallas":
+        from . import pallas_radix
+
+        return pallas_radix.sort_biased(keys_u, tuple(payloads), config,
+                                        keys_u.shape[0])
+    raise EngineError(OperationStatus.INITIALIZATION_FAILED,
+                      f"unknown engine {engine!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n"))
+def _sort_biased_jit(keys_u, payloads, config: SortConfig, n: int):
+    return _radix_engine_biased(keys_u, payloads, config)
 
 
 def _xla_sort_engine(keys_u, payloads, n):

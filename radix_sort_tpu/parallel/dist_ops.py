@@ -1,0 +1,189 @@
+"""Distributed query operators: hash-partitioned aggregate and join.
+
+BASELINE.json config 5 ("multi-host join+aggregate+sort query ... distributed
+radix shuffle over ICI"): tables row-sharded over the mesh are re-partitioned
+by a multiplicative hash of the key — every equal key lands on exactly one
+chip — then the single-chip operators (ops/aggregate.py, ops/join.py) run
+per shard.  The shuffle is the same fixed-capacity ragged all_to_all as the
+distributed sort.
+
+Results are returned as a :class:`ShardedTable`: globally sharded columns of
+per-chip slots plus a per-chip valid-row count (group/match counts differ per
+chip, and XLA shapes are static).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import dtypes
+from ..config import SortConfig, DEFAULT_CONFIG
+from ..ops import aggregate as agg_ops, join as join_ops, partition as part_ops
+from ..table import Table
+from . import exchange, mesh as mesh_lib
+
+
+@dataclasses.dataclass
+class ShardedTable:
+    """Columns are global arrays of shape (D * slot_capacity,), row-sharded;
+    shard d's valid rows are the first shard_rows[d] of its slot."""
+
+    columns: dict
+    shard_rows: jnp.ndarray  # (D,) int32
+    slot_capacity: int
+
+    def to_numpy(self) -> dict:
+        cols = {k: np.asarray(v) for k, v in self.columns.items()}
+        rows = np.asarray(self.shard_rows)
+        out = {}
+        for k, v in cols.items():
+            parts = [
+                v[d * self.slot_capacity: d * self.slot_capacity + rows[d]]
+                for d in range(rows.shape[0])
+            ]
+            out[k] = np.concatenate(parts) if parts else v[:0]
+        return out
+
+
+_GOLDEN32 = np.uint32(0x9E3779B9)
+_GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash_dest(keys, num_devices: int) -> jnp.ndarray:
+    """Multiplicative (Fibonacci) hash of the biased key → destination chip.
+    Equal keys map to equal chips — the partitioned-hash-join invariant."""
+    u = dtypes.to_sortable_unsigned(keys)
+    mult = _GOLDEN64 if np.dtype(u.dtype).itemsize == 8 else _GOLDEN32
+    h = u * mult
+    bits = np.dtype(u.dtype).itemsize * 8
+    top = (h >> dtypes._np_scalar(np.dtype(u.dtype), bits - 16)).astype(
+        jnp.uint32)
+    return (top % np.uint32(num_devices)).astype(jnp.int32)
+
+
+def _shuffle_table(table_cols: Mapping, valid, key: str, D, axis, capacity):
+    """Hash-shuffle rows; returns (cols dict, kept count, overflow)."""
+    names = tuple(sorted(table_cols))
+    arrays = tuple(table_cols[n] for n in names) + (valid,)
+    dest = _hash_dest(table_cols[key], D)
+    # Padding rows carry no data but still occupy exchange slots; spread
+    # them round-robin so they cannot overflow any single (src, dst) pair.
+    n_local = valid.shape[0]
+    rr = jnp.arange(n_local, dtype=jnp.int32) % D
+    dest = jnp.where(valid, dest, rr)
+    fills = tuple(jnp.zeros((), a.dtype) for a in arrays[:-1]) + (False,)
+    recv, recv_counts, overflow = exchange.ragged_all_to_all(
+        arrays, dest, D, capacity, axis, fills)
+    slot_ok = exchange.slot_valid_mask(D, capacity, recv_counts)
+    row_ok = jnp.logical_and(slot_ok, recv[-1])
+    compacted, kept = part_ops.compact_mask(row_ok, recv[:-1])
+    return dict(zip(names, compacted)), kept, overflow
+
+
+def dist_hash_aggregate(table: Table, key: str,
+                        aggs: Mapping, mesh: Mesh | None = None,
+                        axis: str = mesh_lib.DATA_AXIS,
+                        capacity_factor: float = 2.5,
+                        config: SortConfig = DEFAULT_CONFIG):
+    """GROUP BY over a row-sharded table.  Returns (ShardedTable, overflow)."""
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    D = mesh.devices.size
+    cap_rows = table.capacity
+    if cap_rows % D:
+        raise ValueError(f"table capacity {cap_rows} must be divisible by "
+                         f"mesh size {D} (pad the table)")
+    per_dev = cap_rows // D
+    capacity = max(1, min(per_dev, int(np.ceil(
+        capacity_factor * per_dev / D))))
+    slot_cap = D * capacity  # received rows per chip, = local agg capacity
+
+    def shard_fn(cols, num_rows):
+        local_valid = (jnp.arange(per_dev, dtype=jnp.int32)
+                       + jax.lax.axis_index(axis) * per_dev) < num_rows
+        shuffled, kept, overflow = _shuffle_table(
+            cols, local_valid, key, D, axis, capacity)
+        local = Table(shuffled, num_rows=kept)
+        out = agg_ops.hash_aggregate(local, key, aggs, config=config)
+        return (out.columns, out.num_rows[None],
+                jax.lax.psum(overflow.astype(jnp.int32), axis))
+
+    spec_cols = {n: P(axis) for n in table.columns}
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(spec_cols, P()),
+        out_specs=({n: P(axis) for n in _agg_out_names(table, key, aggs)},
+                   P(axis), P()),
+    )
+    out_cols, rows, overflow = jax.jit(fn)(dict(table.columns),
+                                           table.num_rows)
+    return (ShardedTable(out_cols, rows.astype(jnp.int32), slot_cap),
+            overflow > 0)
+
+
+def _agg_out_names(table, key, aggs):
+    return tuple(sorted({key, *aggs.keys()}))
+
+
+def dist_hash_join(probe: Table, build: Table, key: str,
+                   mesh: Mesh | None = None,
+                   axis: str = mesh_lib.DATA_AXIS,
+                   capacity_factor: float = 2.5,
+                   max_duplicates: int = 1,
+                   suffixes=("", "_r"),
+                   config: SortConfig = DEFAULT_CONFIG):
+    """Distributed inner join of row-sharded tables.
+    Returns (ShardedTable, stats) with psum'd match_count and overflow."""
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    D = mesh.devices.size
+    for t, nm in ((probe, "probe"), (build, "build")):
+        if t.capacity % D:
+            raise ValueError(f"{nm} capacity {t.capacity} not divisible by "
+                             f"mesh size {D}")
+    p_per, b_per = probe.capacity // D, build.capacity // D
+    p_cap = max(1, min(p_per, int(np.ceil(capacity_factor * p_per / D))))
+    b_cap = max(1, min(b_per, int(np.ceil(capacity_factor * b_per / D))))
+    out_slot_cap = D * p_cap * max_duplicates
+
+    def shard_fn(p_cols, p_rows, b_cols, b_rows):
+        me = jax.lax.axis_index(axis)
+        pv = (jnp.arange(p_per, dtype=jnp.int32) + me * p_per) < p_rows
+        bv = (jnp.arange(b_per, dtype=jnp.int32) + me * b_per) < b_rows
+        ps, p_kept, p_over = _shuffle_table(p_cols, pv, key, D, axis, p_cap)
+        bs, b_kept, b_over = _shuffle_table(b_cols, bv, key, D, axis, b_cap)
+        out, stats = join_ops.hash_join(
+            Table(ps, num_rows=p_kept), Table(bs, num_rows=b_kept), key,
+            max_duplicates=max_duplicates, suffixes=suffixes, config=config)
+        shuffle_over = jnp.logical_or(p_over, b_over)
+        return (out.columns, out.num_rows[None],
+                jax.lax.psum(stats["match_count"], axis),
+                jax.lax.psum(
+                    jnp.logical_or(stats["overflow"],
+                                   shuffle_over).astype(jnp.int32), axis))
+
+    # output column names: computed like ops/join.py
+    out_names = []
+    for n in probe.column_names:
+        out_names.append(n + suffixes[0])
+    for n in build.column_names:
+        out_names.append(n + suffixes[1] if (n + suffixes[0]) in out_names
+                         else n)
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=({n: P(axis) for n in probe.columns}, P(),
+                  {n: P(axis) for n in build.columns}, P()),
+        out_specs=({n: P(axis) for n in out_names}, P(axis), P(), P()),
+    )
+    out_cols, rows, matches, overflow = jax.jit(fn)(
+        dict(probe.columns), probe.num_rows,
+        dict(build.columns), build.num_rows)
+    stats = {"match_count": matches, "overflow": overflow > 0}
+    return ShardedTable(out_cols, rows.astype(jnp.int32), out_slot_cap), stats

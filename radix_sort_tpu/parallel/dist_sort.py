@@ -1,0 +1,208 @@
+"""Distributed sort over a device mesh — the multi-chip radix shuffle.
+
+The single-device reference caps at 2^25 keys in one GPU's memory
+(``src/Parameters.h:29``); this layer is the TPU-native answer (SURVEY.md §2
+parallelism inventory, §7 M4): keys sharded over a 1-D mesh are sorted
+globally with one skew-aware shuffle:
+
+  1. sample     — every chip contributes strided key samples; an all_gather +
+                  replicated sort picks D-1 splitters (global quantile
+                  estimates).
+  2. assign     — each key's destination chip comes from its splitter
+                  interval.  Keys *equal* to a splitter (heavy skew — e.g.
+                  the Zeros distribution, where every key is identical) are
+                  spread across the tied chip range by *global rank among
+                  equals* (psum prefix + local cumsum), so degenerate
+                  distributions still balance — the skew-aware repartitioning
+                  the north star requires.
+  3. shuffle    — ragged_all_to_all (exchange.py) with fixed per-pair
+                  capacity; overflow is detected globally.
+  4. local sort — validity-partition then stable key sort; slot-major recv
+                  order makes the result globally stable.
+  5. rebalance  — (dense mode) a second fixed-capacity exchange lands
+                  exactly N/D sorted rows on each chip.
+
+Everything is one jit region per call; collectives compile to ICI
+all_to_all/all_gather/psum via shard_map.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import dtypes
+from ..config import SortConfig, DEFAULT_CONFIG
+from ..ops import partition as part_ops, sort as sort_ops
+from . import exchange, mesh as mesh_lib
+
+
+def _strided_samples(x: jnp.ndarray, count: int) -> jnp.ndarray:
+    n = x.shape[0]
+    stride = max(1, n // count)
+    s = x[::stride][:count]
+    if s.shape[0] < count:  # tiny chunks: repeat to fixed size
+        s = jnp.pad(s, (0, count - s.shape[0]), mode="edge")
+    return s
+
+
+def _choose_splitters(all_samples: jnp.ndarray, num_devices: int):
+    """D-1 evenly spaced order statistics of the gathered samples."""
+    s = jnp.sort(all_samples)
+    m = all_samples.shape[0]
+    idx = (jnp.arange(1, num_devices, dtype=jnp.int32) * m) // num_devices
+    return s[idx]
+
+
+def _assign_destinations(chunk_u: jnp.ndarray, splitters: jnp.ndarray,
+                         num_devices: int, axis: str) -> jnp.ndarray:
+    """Destination chip per key, with tie spreading by global rank."""
+    D = num_devices
+    # lo = #splitters < k, hi = #splitters <= k; untied keys go to chip lo.
+    lo = jnp.sum(splitters[None, :] < chunk_u[:, None], axis=1).astype(jnp.int32)
+    hi = jnp.sum(splitters[None, :] <= chunk_u[:, None], axis=1).astype(jnp.int32)
+    dest = lo
+
+    my = jax.lax.axis_index(axis)
+    for j in range(D - 1):
+        v = splitters[j]
+        tied = chunk_u == v
+        local_count = jnp.sum(tied.astype(jnp.int32))
+        counts_all = jax.lax.all_gather(local_count, axis)          # (D,)
+        prev = jnp.sum(jnp.where(jnp.arange(D) < my, counts_all, 0))
+        total = jnp.maximum(jnp.sum(counts_all), 1)
+        local_rank = jnp.cumsum(tied.astype(jnp.int32)) - 1
+        grank = prev + local_rank
+        # chips [lo_v, hi_v] share value v; spread ranks evenly over them.
+        lo_v = jnp.sum((splitters < v).astype(jnp.int32))
+        hi_v = jnp.sum((splitters <= v).astype(jnp.int32))
+        width = hi_v - lo_v + 1
+        spread = lo_v + (grank * width) // total
+        dest = jnp.where(tied, spread.astype(jnp.int32), dest)
+    return jnp.clip(dest, 0, D - 1)
+
+
+def _local_sorted_valid_first(ku, payloads, valid, config):
+    """Partition valid rows first, then stable-sort by key: LSD order gives
+    key-major, valid-before-padding, source-order-stable results."""
+    arrays = (ku,) + tuple(payloads)
+    out, _ = part_ops.compact_mask(valid, arrays)
+    ku2, payloads2 = out[0], out[1:]
+    ks, ps = sort_ops.sort_biased_kv(ku2, payloads2, config)
+    return ks, ps
+
+
+def _dist_sort_shard(chunk_u, payloads, *, D, axis, capacity, samples,
+                     config, dense_capacity):
+    sent = dtypes._np_scalar(np.dtype(chunk_u.dtype),
+                             dtypes.sentinel_max_unsigned(chunk_u.dtype))
+    n = chunk_u.shape[0]
+
+    # 1-2: splitters and destinations.
+    smp = _strided_samples(chunk_u, samples)
+    all_smp = jax.lax.all_gather(smp, axis, tiled=True)
+    splitters = _choose_splitters(all_smp, D)
+    dest = _assign_destinations(chunk_u, splitters, D, axis)
+
+    # 3: shuffle.
+    fills = (sent,) + tuple(jnp.zeros((), p.dtype) for p in payloads)
+    (recv, recv_counts, overflow) = exchange.ragged_all_to_all(
+        (chunk_u,) + tuple(payloads), dest, D, capacity, axis, fills)
+    valid = exchange.slot_valid_mask(D, capacity, recv_counts)
+
+    # 4: local stable sort, valid rows first.
+    ks, ps = _local_sorted_valid_first(recv[0], recv[1:], valid, config)
+    v_count = jnp.sum(recv_counts)
+
+    # 5: rebalance to a dense shard of exactly n rows per chip.
+    counts_all = jax.lax.all_gather(v_count, axis)                  # (D,)
+    my = jax.lax.axis_index(axis)
+    g0 = jnp.sum(jnp.where(jnp.arange(D) < my, counts_all, 0))
+    pos = g0 + jnp.arange(ks.shape[0], dtype=jnp.int32)
+    # Valid rows (pos < N) land on their true owner; invalid tail rows wrap
+    # around harmlessly (their row_valid flag is False and they're dropped on
+    # arrival).  The modulo keeps every contiguous position window mapping at
+    # most n rows to any one destination, so this exchange cannot overflow.
+    dest2 = (pos // n) % D
+    row_valid = jnp.arange(ks.shape[0], dtype=jnp.int32) < v_count
+    fills2 = fills
+    (recv2, recv2_counts, overflow2) = exchange.ragged_all_to_all(
+        (ks,) + tuple(ps) + (row_valid,), dest2, D, dense_capacity, axis,
+        fills2 + (False,))
+    valid2 = jnp.logical_and(
+        exchange.slot_valid_mask(D, dense_capacity, recv2_counts),
+        recv2[-1])
+    out_arrays, _ = part_ops.compact_mask(valid2, recv2[:-1])
+    ks_final = out_arrays[0][:n]
+    ps_final = tuple(a[:n] for a in out_arrays[1:])
+    return (ks_final,) + ps_final + (
+        jnp.logical_or(overflow, overflow2).astype(jnp.int32),)
+
+
+def dist_sort_kv(keys: jnp.ndarray, values: Any = None,
+                 mesh: Mesh | None = None, axis: str = mesh_lib.DATA_AXIS,
+                 capacity_factor: float = 2.5, samples_per_device: int = 64,
+                 config: SortConfig = DEFAULT_CONFIG):
+    """Globally sort sharded ``keys`` (and permute ``values`` alongside)
+    over the mesh.  Returns (keys, values, overflow) with the same global
+    shape/sharding; ``overflow`` True means a shuffle slot overflowed
+    (retry with a larger ``capacity_factor``).
+
+    Arbitrary n is padded to D ⋅ ceil(n/D) with the max sentinel (reference
+    padding discipline, src/RadixSortGPU.cpp:269-297) and sliced back.
+    """
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    D = mesh.devices.size
+    n = keys.shape[0]
+    padded_n = -(-max(n, D) // D) * D
+
+    orig_dtype = np.dtype(keys.dtype)
+    ku = dtypes.to_sortable_unsigned(keys)
+    sent = dtypes._np_scalar(np.dtype(ku.dtype),
+                             dtypes.sentinel_max_unsigned(ku.dtype))
+    ku = sort_ops._pad_1d(ku, padded_n, sent)
+    leaves, treedef = jax.tree.flatten(values) if values is not None else ((), None)
+    leaves = tuple(sort_ops._pad_1d(l, padded_n, 0) for l in leaves)
+
+    per_dev = padded_n // D
+    samples = min(samples_per_device, per_dev)
+
+    # Fixed-capacity shuffle with host-level escalation: start with the
+    # expected-load capacity; if any (src, dst) slot overflowed (heavy skew,
+    # e.g. all-equal keys where stability forces contiguous-rank placement),
+    # retry larger.  The final attempt (capacity = per_dev) can never
+    # overflow — a source only has per_dev rows.
+    base_cap = max(1, min(per_dev,
+                          int(np.ceil(capacity_factor * per_dev / D))))
+    attempts = sorted({base_cap, min(per_dev, base_cap * 4), per_dev})
+
+    spec = P(axis)
+    for capacity in attempts:
+        fn = functools.partial(
+            _dist_sort_shard, D=D, axis=axis, capacity=capacity,
+            samples=samples, config=config, dense_capacity=per_dev)
+        shard_fn = jax.shard_map(
+            lambda k, pl: fn(k, pl),
+            mesh=mesh,
+            in_specs=(spec, tuple(spec for _ in leaves)),
+            out_specs=tuple([spec] * (1 + len(leaves))) + (P(),),
+        )
+        out = jax.jit(shard_fn)(ku, leaves)
+        ks, ps, overflow = out[0], out[1:-1], out[-1]
+        if not bool(overflow > 0):
+            break
+    ks = dtypes.from_sortable_unsigned(ks[:n], orig_dtype)
+    ps = tuple(p[:n] for p in ps)
+    values_out = jax.tree.unflatten(treedef, ps) if treedef is not None else None
+    return ks, values_out, overflow > 0
+
+
+def dist_sort(keys: jnp.ndarray, **kwargs) -> jnp.ndarray:
+    ks, _, overflow = dist_sort_kv(keys, None, **kwargs)
+    return ks

@@ -1,0 +1,73 @@
+"""Ragged all-to-all exchange — the distributed radix shuffle's transport.
+
+The reference has no cross-device transport at all (SURVEY.md §2 parallelism
+inventory); this is the first-class TPU-native component the north star adds:
+rows labelled with a destination device are exchanged over the mesh axis with
+XLA's ``all_to_all`` collective (riding ICI within a slice).
+
+XLA collectives need static shapes, so raggedness is handled with the
+fixed-capacity discipline (SURVEY.md §7 hard part 3): each (source, dest)
+pair gets a ``capacity``-row slot; local rows are stably partitioned by
+destination (the engine's own radix machinery), packed into the (D, C) send
+buffer padded with ``fill``, and exchanged.  Per-pair counts travel in the
+same all_to_all, and capacity overflow is detected and psum-reduced so every
+chip agrees.  Skew-aware destination assignment lives one level up
+(dist_sort.py); here the contract is just "respect ``dest``".
+
+All functions must run inside ``shard_map`` over ``axis``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import partition
+
+
+def ragged_all_to_all(arrays, dest: jnp.ndarray, num_devices: int,
+                      capacity: int, axis: str, fills):
+    """Exchange rows of ``arrays`` (tuple of (n,) locals) to devices given by
+    ``dest`` (int32 in [0, D)).
+
+    Returns (recv_arrays, recv_counts, overflow):
+      recv_arrays: tuple of (D * capacity,) arrays — slot-major: rows from
+        source s occupy [s*capacity, s*capacity + recv_counts[s]); the rest
+        of each slot is ``fills[i]`` padding.  Within a slot, source order is
+        preserved (stable partition) — the property that keeps multi-chip
+        sorts stable.
+      recv_counts: (D,) int32 valid rows per source slot.
+      overflow: bool scalar (globally reduced) — some pair exceeded capacity.
+    """
+    D, C = num_devices, capacity
+    out, counts, starts = partition.stable_partition(dest, arrays, D)
+    overflow_local = jnp.any(counts > C)
+
+    # Pack: send[d, j] = partitioned[starts[d] + j], masked past counts[d].
+    j = jnp.arange(C, dtype=jnp.int32)[None, :]                 # (1, C)
+    gather_idx = jnp.clip(starts[:, None] + j, 0,
+                          max(out[0].shape[0] - 1, 0))          # (D, C)
+    in_slot = j < counts[:, None]                               # (D, C)
+
+    send_bufs = []
+    for a, fill in zip(out, fills):
+        buf = a[gather_idx.reshape(-1)].reshape(D, C)
+        buf = jnp.where(in_slot, buf, jnp.asarray(fill, dtype=a.dtype))
+        send_bufs.append(buf)
+
+    recv_bufs = tuple(
+        jax.lax.all_to_all(b, axis, split_axis=0, concat_axis=0, tiled=True)
+        for b in send_bufs
+    )
+    recv_counts = jax.lax.all_to_all(counts, axis, split_axis=0,
+                                     concat_axis=0, tiled=True)
+    overflow = jax.lax.psum(overflow_local.astype(jnp.int32), axis) > 0
+    return (tuple(r.reshape(D * C) for r in recv_bufs),
+            recv_counts.astype(jnp.int32), overflow)
+
+
+def slot_valid_mask(num_devices: int, capacity: int,
+                    recv_counts: jnp.ndarray) -> jnp.ndarray:
+    """(D*C,) bool mask of real rows in a ragged_all_to_all result."""
+    j = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    return (j < recv_counts[:, None]).reshape(-1)

@@ -8,7 +8,10 @@ exercised everywhere, hardware or not.  Must set env vars before jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of ambient config (the dev box tunnels to a real TPU
+# and sitecustomize imports jax before conftest runs, so we must use
+# jax.config rather than env vars).  Set RST_TEST_TPU=1 to run the suite
+# against real hardware instead.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +20,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+if not os.environ.get("RST_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # 64-bit key coverage
 
 import numpy as np  # noqa: E402

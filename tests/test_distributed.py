@@ -1,0 +1,158 @@
+"""Distributed layer on the 8-device simulated CPU mesh — the multi-chip
+testing the reference could never do (its CI test step was inactive,
+SURVEY.md §4); here the shuffle/sort/join/aggregate paths run on every test
+invocation via xla_force_host_platform_device_count=8."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radix_sort_tpu import datasets, golden
+from radix_sort_tpu.table import Table
+from radix_sort_tpu.parallel import dist_ops, dist_sort, exchange, mesh as mesh_lib
+from jax.sharding import PartitionSpec as P
+
+D = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return mesh_lib.make_mesh(D)
+
+
+# ------------------------------------------------------------- exchange
+
+def test_ragged_all_to_all_roundtrip(mesh):
+    n_per = 64
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 1000, size=D * n_per).astype(np.int32)
+    dest = rng.integers(0, D, size=D * n_per).astype(np.int32)
+
+    def shard_fn(v, d):
+        recv, counts, overflow = exchange.ragged_all_to_all(
+            (v,), d, D, n_per, "x", (np.int32(-1),))
+        return recv[0], counts, overflow.astype(jnp.int32)
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P("x"), P("x")),
+                       out_specs=(P("x"), P("x"), P()))
+    recv, counts, overflow = jax.jit(fn)(jnp.asarray(vals), jnp.asarray(dest))
+    assert not bool(overflow)
+    recv = np.asarray(recv).reshape(D, D, n_per)   # [dst, src, slot]
+    counts = np.asarray(counts).reshape(D, D)      # [dst, src]
+    # Every row must arrive exactly once at its destination, in source order.
+    for dst in range(D):
+        for src in range(D):
+            expected = vals[src * n_per:(src + 1) * n_per][
+                dest[src * n_per:(src + 1) * n_per] == dst]
+            got = recv[dst, src, :counts[dst, src]]
+            assert np.array_equal(got, expected)
+            assert np.all(recv[dst, src, counts[dst, src]:] == -1)
+
+
+def test_ragged_all_to_all_overflow_detected(mesh):
+    # every row targets chip 0 with capacity 1 → guaranteed overflow.
+    vals = np.arange(D * 16, dtype=np.int32)
+    dest = np.zeros(D * 16, dtype=np.int32)
+
+    def shard_fn(v, d):
+        _, _, overflow = exchange.ragged_all_to_all(
+            (v,), d, D, 1, "x", (np.int32(0),))
+        return overflow.astype(jnp.int32)
+
+    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=(P("x"), P("x")),
+                       out_specs=P())
+    assert bool(jax.jit(fn)(jnp.asarray(vals), jnp.asarray(dest)))
+
+
+# ------------------------------------------------------------- dist sort
+
+@pytest.mark.parametrize("ds_name", ["Zeros", "RandomDistributed", "Random",
+                                     "Range", "InvertedRange"])
+def test_dist_sort_distributions(mesh, ds_name):
+    """All five reference distributions globally sorted across 8 chips —
+    including Zeros, the maximal-skew case."""
+    for ds in datasets.make_datasets(np.uint32, seed=3):
+        if ds.name != ds_name:
+            continue
+        data = ds.generate(1 << 12)
+        got = np.asarray(dist_sort.dist_sort(jnp.asarray(data), mesh=mesh))
+        assert golden.validate_bit_exact(got, golden.oracle_sort(data),
+                                         data.size), ds.name
+
+
+def test_dist_sort_kv_stable(mesh):
+    keys = np.array([7, 7, 7, 7, 1, 1, 1, 1] * 128, dtype=np.uint32)
+    vals = np.arange(keys.size, dtype=np.int32)
+    k, v, overflow = dist_sort.dist_sort_kv(
+        jnp.asarray(keys), jnp.asarray(vals), mesh=mesh)
+    assert not bool(overflow)
+    perm = golden.oracle_argsort(keys)
+    assert np.array_equal(np.asarray(k), keys[perm])
+    assert np.array_equal(np.asarray(v), vals[perm])
+
+
+def test_dist_sort_non_divisible_n(mesh):
+    data = datasets.RandomDistributed(np.int32, seed=1).generate(1000)
+    got = np.asarray(dist_sort.dist_sort(jnp.asarray(data), mesh=mesh))
+    assert np.array_equal(got, np.sort(data))
+
+
+def test_dist_sort_i64(mesh):
+    data = datasets.RandomDistributed(np.int64, seed=2).generate(2048)
+    got = np.asarray(dist_sort.dist_sort(jnp.asarray(data), mesh=mesh))
+    assert np.array_equal(got, np.sort(data))
+
+
+def test_dist_sort_skewed_zipf(mesh):
+    rng = np.random.default_rng(0)
+    data = (rng.zipf(1.5, size=4096) % 1000).astype(np.uint32)
+    got = np.asarray(dist_sort.dist_sort(jnp.asarray(data), mesh=mesh))
+    assert np.array_equal(got, np.sort(data))
+
+
+# -------------------------------------------------------- dist aggregate
+
+def test_dist_hash_aggregate(mesh):
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 40, size=2048).astype(np.uint32)
+    vals = rng.integers(-50, 50, size=2048).astype(np.int32)
+    t = Table.from_numpy({"g": keys, "x": vals})
+    out, overflow = dist_ops.dist_hash_aggregate(
+        t, "g", {"n": ("count", None), "s": ("sum", "x")}, mesh=mesh)
+    assert not bool(overflow)
+    res = out.to_numpy()
+    order = np.argsort(res["g"], kind="stable")
+    uk = np.unique(keys)
+    assert np.array_equal(res["g"][order], uk)
+    exp_n = np.array([(keys == k).sum() for k in uk])
+    exp_s = np.array([vals[keys == k].sum() for k in uk])
+    assert np.array_equal(res["n"][order], exp_n)
+    assert np.array_equal(res["s"][order], exp_s)
+
+
+# ------------------------------------------------------------- dist join
+
+def test_dist_hash_join(mesh):
+    rng = np.random.default_rng(7)
+    pk = rng.integers(0, 500, size=1024).astype(np.uint32)
+    bk = np.arange(0, 500, 2, dtype=np.uint32)       # unique even keys
+    pad_b = np.zeros(512 - bk.size, dtype=np.uint32)  # pad to mesh multiple
+    build = Table({"k": jnp.asarray(np.concatenate([bk, pad_b])),
+                   "bv": jnp.asarray(np.concatenate(
+                       [bk.astype(np.int32) * 10,
+                        np.zeros(512 - bk.size, np.int32)]))},
+                  num_rows=bk.size)
+    probe = Table.from_numpy({"k": pk, "pv": np.arange(1024, dtype=np.int32)})
+    out, stats = dist_ops.dist_hash_join(probe, build, "k", mesh=mesh)
+    assert not bool(stats["overflow"])
+    res = out.to_numpy()
+    exp_matches = int(np.isin(pk, bk).sum())
+    assert int(stats["match_count"]) == exp_matches
+    assert res["k"].size == exp_matches
+    assert np.array_equal(res["bv"], res["k"].astype(np.int32) * 10)
+    # every matched probe row appears exactly once
+    got = sorted(zip(res["k"].tolist(), res["pv"].tolist()))
+    exp = sorted((int(k), i) for i, k in enumerate(pk) if k in set(bk.tolist()))
+    assert got == exp

@@ -1,0 +1,222 @@
+"""Operator set: partition, filter, aggregate, join — validated against
+numpy golden semantics (the reference's oracle discipline extended to the
+operator set, SURVEY.md §4 implication)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radix_sort_tpu.table import Table
+from radix_sort_tpu.ops import partition, filter as filt, aggregate, join
+
+
+# ---------------------------------------------------------------- partition
+
+def test_stable_partition_matches_stable_argsort():
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 7, size=5000).astype(np.int32)
+    vals = np.arange(5000, dtype=np.int32)
+    (out_ids, out_vals), counts, starts = partition.stable_partition(
+        jnp.asarray(ids), (jnp.asarray(ids), jnp.asarray(vals)), 7,
+        block_elems=1024)
+    perm = np.argsort(ids, kind="stable")
+    assert np.array_equal(np.asarray(out_ids), ids[perm])
+    assert np.array_equal(np.asarray(out_vals), vals[perm])
+    assert np.array_equal(np.asarray(counts), np.bincount(ids, minlength=7))
+    assert np.array_equal(np.asarray(starts),
+                          np.cumsum(np.bincount(ids, minlength=7))
+                          - np.bincount(ids, minlength=7))
+
+
+def test_stable_partition_non_divisible_n():
+    ids = np.array([2, 0, 1, 2, 0], np.int32)
+    (out,), counts, _ = partition.stable_partition(
+        jnp.asarray(ids), (jnp.asarray(ids),), 3, block_elems=1024)
+    assert np.array_equal(np.asarray(out), [0, 0, 1, 2, 2])
+    assert np.array_equal(np.asarray(counts), [2, 1, 2])
+
+
+def test_radix_partition_by_digit():
+    keys = np.array([0x12, 0x34, 0x56, 0x78, 0x9A], np.uint32)
+    (out,), counts, _ = partition.radix_partition(
+        jnp.asarray(keys), (jnp.asarray(keys),), bits=4, shift=4)
+    # high nibbles: 1,3,5,7,9 — already ascending.
+    assert np.array_equal(np.asarray(out), keys)
+    assert int(np.asarray(counts).sum()) == 5
+
+
+def test_compact_mask():
+    mask = np.array([True, False, True, False, True])
+    vals = np.arange(5, dtype=np.int32)
+    (out,), kept = partition.compact_mask(
+        jnp.asarray(mask), (jnp.asarray(vals),))
+    assert int(kept) == 3
+    assert np.array_equal(np.asarray(out)[:3], [0, 2, 4])
+
+
+# ------------------------------------------------------------------ filter
+
+def test_filter_table():
+    t = Table.from_numpy({
+        "k": np.array([5, 2, 8, 1, 9, 3], np.uint32),
+        "v": np.arange(6, dtype=np.int32),
+    })
+    out = filt.filter_expr(t, "k", "ge", 5)
+    res = out.to_numpy()
+    assert np.array_equal(res["k"], [5, 8, 9])
+    assert np.array_equal(res["v"], [0, 2, 4])
+
+
+def test_filter_respects_existing_padding():
+    t = Table({"k": jnp.asarray(np.array([1, 2, 3, 99], np.uint32))},
+              num_rows=3)
+    out = filt.filter_expr(t, "k", "ge", 2)
+    assert np.array_equal(out.to_numpy()["k"], [2, 3])  # 99 is padding
+
+
+def test_filter_under_jit():
+    t = Table.from_numpy({"k": np.arange(100, dtype=np.uint32)})
+
+    @jax.jit
+    def f(tbl):
+        return filt.filter_expr(tbl, "k", "lt", 10)
+
+    out = f(t)
+    assert np.array_equal(out.to_numpy()["k"], np.arange(10))
+
+
+# --------------------------------------------------------------- aggregate
+
+def test_hash_aggregate_count_sum():
+    keys = np.array([3, 1, 3, 1, 3, 7], np.uint32)
+    vals = np.array([10, 20, 30, 40, 50, 60], np.int32)
+    t = Table.from_numpy({"g": keys, "x": vals})
+    out = aggregate.hash_aggregate(
+        t, "g", {"n": ("count", None), "sx": ("sum", "x"),
+                 "mn": ("min", "x"), "mx": ("max", "x")})
+    res = out.to_numpy()
+    assert np.array_equal(res["g"], [1, 3, 7])
+    assert np.array_equal(res["n"], [2, 3, 1])
+    assert np.array_equal(res["sx"], [60, 90, 60])
+    assert np.array_equal(res["mn"], [20, 10, 60])
+    assert np.array_equal(res["mx"], [40, 50, 60])
+
+
+def test_hash_aggregate_signed_keys_and_padding():
+    t = Table({"g": jnp.asarray(np.array([-5, 2, -5, 2, 123], np.int32)),
+               "x": jnp.asarray(np.array([1., 2., 3., 4., 99.], np.float32))},
+              num_rows=4)
+    out = aggregate.hash_aggregate(t, "g", {"s": ("sum", "x"),
+                                            "m": ("mean", "x")})
+    res = out.to_numpy()
+    assert np.array_equal(res["g"], [-5, 2])
+    assert np.allclose(res["s"], [4.0, 6.0])
+    assert np.allclose(res["m"], [2.0, 3.0])
+
+
+def test_hash_aggregate_random_against_numpy():
+    rng = np.random.default_rng(42)
+    keys = rng.integers(0, 50, size=3000).astype(np.uint32)
+    vals = rng.integers(-100, 100, size=3000).astype(np.int32)
+    t = Table.from_numpy({"g": keys, "x": vals})
+    out = aggregate.hash_aggregate(t, "g", {"n": ("count", None),
+                                            "s": ("sum", "x")})
+    res = out.to_numpy()
+    uk = np.unique(keys)
+    assert np.array_equal(res["g"], uk)
+    exp_n = np.array([(keys == k).sum() for k in uk])
+    exp_s = np.array([vals[keys == k].sum() for k in uk])
+    assert np.array_equal(res["n"], exp_n)
+    assert np.array_equal(res["s"], exp_s)
+
+
+def test_hash_aggregate_all_distinct_full_capacity():
+    keys = np.arange(64, dtype=np.uint32)[::-1].copy()
+    t = Table.from_numpy({"g": keys})
+    out = aggregate.hash_aggregate(t, "g", {"n": ("count", None)})
+    res = out.to_numpy()
+    assert np.array_equal(res["g"], np.arange(64))
+    assert np.all(res["n"] == 1)
+
+
+# -------------------------------------------------------------------- join
+
+def test_hash_join_unique_build():
+    probe = Table.from_numpy({
+        "k": np.array([2, 5, 7, 5, 100], np.uint32),
+        "pv": np.arange(5, dtype=np.int32),
+    })
+    build = Table.from_numpy({
+        "k": np.array([5, 2, 9], np.uint32),
+        "bv": np.array([50, 20, 90], np.int32),
+    })
+    out, stats = join.hash_join(probe, build, "k")
+    res = out.to_numpy()
+    assert int(stats["match_count"]) == 3
+    assert not bool(stats["overflow"])
+    # order: probe order preserved (stable compaction)
+    assert np.array_equal(res["k"], [2, 5, 5])
+    assert np.array_equal(res["pv"], [0, 1, 3])
+    assert np.array_equal(res["bv"], [20, 50, 50])
+
+
+def test_hash_join_duplicate_build_keys():
+    probe = Table.from_numpy({"k": np.array([1, 2], np.uint32)})
+    build = Table.from_numpy({
+        "k": np.array([2, 1, 2], np.uint32),
+        "bv": np.array([200, 100, 201], np.int32),
+    })
+    out, stats = join.hash_join(probe, build, "k", max_duplicates=2)
+    res = out.to_numpy()
+    assert int(stats["match_count"]) == 3
+    got = sorted(zip(res["k"].tolist(), res["bv"].tolist()))
+    assert got == [(1, 100), (2, 200), (2, 201)]
+
+
+def test_hash_join_duplicate_overflow_flagged():
+    probe = Table.from_numpy({"k": np.array([1], np.uint32)})
+    build = Table.from_numpy({"k": np.array([1, 1, 1], np.uint32),
+                              "bv": np.arange(3, dtype=np.int32)})
+    _, stats = join.hash_join(probe, build, "k", max_duplicates=2)
+    assert bool(stats["overflow"])
+
+
+def test_hash_join_signed_keys():
+    probe = Table.from_numpy({"k": np.array([-3, 0, 7], np.int32)})
+    build = Table.from_numpy({"k": np.array([0, -3], np.int32),
+                              "bv": np.array([10, 30], np.int32)})
+    out, stats = join.hash_join(probe, build, "k")
+    res = out.to_numpy()
+    assert int(stats["match_count"]) == 2
+    assert np.array_equal(res["k"], [-3, 0])
+    assert np.array_equal(res["bv"], [30, 10])
+
+
+def test_hash_join_respects_padding():
+    probe = Table({"k": jnp.asarray(np.array([1, 2, 3], np.uint32))},
+                  num_rows=2)
+    build = Table({"k": jnp.asarray(np.array([3, 1, 9], np.uint32)),
+                   "bv": jnp.asarray(np.array([33, 11, 99], np.int32))},
+                  num_rows=2)
+    out, stats = join.hash_join(probe, build, "k")
+    res = out.to_numpy()
+    # probe row 3 is padding; build row 9 is padding → only key 1 matches.
+    assert int(stats["match_count"]) == 1
+    assert np.array_equal(res["k"], [1])
+    assert np.array_equal(res["bv"], [11])
+
+
+def test_hash_join_under_jit():
+    probe = Table.from_numpy({"k": np.arange(32, dtype=np.uint32)})
+    build = Table.from_numpy({"k": np.arange(0, 64, 2, dtype=np.uint32),
+                              "bv": np.arange(0, 64, 2, dtype=np.int32)})
+
+    @jax.jit
+    def f(p, b):
+        return join.hash_join(p, b, "k")
+
+    out, stats = f(probe, build)
+    res = out.to_numpy()
+    assert int(stats["match_count"]) == 16
+    assert np.array_equal(res["k"], np.arange(0, 32, 2))
