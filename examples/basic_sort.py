@@ -20,6 +20,11 @@ import numpy as np
 
 def main():
     import jax
+
+    # Honor JAX_PLATFORMS even when a site hook pre-registered another
+    # backend (the dev image registers a tunneled TPU in sitecustomize).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from radix_sort_tpu import sort_kv, golden

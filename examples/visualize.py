@@ -20,6 +20,11 @@ N = 4096  # the reference visualizes 4096 u32 keys
 
 def main(out_path: str = "visualize.png"):
     import jax
+
+    # Honor JAX_PLATFORMS even when a site hook pre-registered another
+    # backend (the dev image registers a tunneled TPU in sitecustomize).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     import matplotlib
 

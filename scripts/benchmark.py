@@ -1,0 +1,145 @@
+"""Benchmark sweep harness — parity with the reference's benchmark corpus
+(SURVEY.md §2 #24: scripts/performance.ps1 sweeping n = 2^25..2^1 and
+Performance/perfToOverallCSV.py aggregation), modernized:
+
+  python scripts/benchmark.py --max-log2 25 --min-log2 10 \
+      --datatypes u32,u64 --engine auto --perf-to-csv
+
+Emits one CSV (reference schema + TPU columns, utils/csvio.py) with one row
+per (n, dtype, dataset) and prints a summary.  Runs on the ambient backend
+(real TPU under the driver); timing uses the tunnel-safe chained method.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# v5e single-chip HBM bandwidth for roofline accounting (GB/s).
+HBM_GBS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5": 2765.0}
+
+
+def timed_chain(fn, x, reps=4, iters=3, warmup=1):
+    import jax
+
+    def chained(r):
+        return jax.jit(
+            lambda a: jax.lax.fori_loop(0, r, lambda _, v: fn(v), a))
+
+    f1, fr = chained(1), chained(reps)
+
+    def sync(out):
+        np.asarray(out[:1])
+
+    for _ in range(warmup):
+        sync(f1(x))
+        sync(fr(x))
+    t1s, trs = [], []
+    for _ in range(iters):
+        t0 = time.perf_counter(); sync(f1(x)); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); sync(fr(x)); trs.append(time.perf_counter() - t0)
+    return max(1e-9, (min(trs) - min(t1s)) / (reps - 1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--min-log2", type=int, default=16)
+    ap.add_argument("--max-log2", type=int, default=25)
+    ap.add_argument("--step", type=int, default=3)
+    ap.add_argument("--datatypes", default="u32")
+    ap.add_argument("--datasets", default="")
+    ap.add_argument("--engine", default="auto")
+    ap.add_argument("--cpu-baselines", action="store_true",
+                    help="also time np.sort + native radix per row (slow)")
+    ap.add_argument("--perf-to-csv", action="store_true")
+    ap.add_argument("--perf-to-stdout", action="store_true")
+    ap.add_argument("--csv-dir", default="Performance")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from radix_sort_tpu import datasets as ds_lib, dtypes as dt_lib, golden
+    from radix_sort_tpu.config import SortConfig
+    from radix_sort_tpu.ops import sort as sort_ops
+    from radix_sort_tpu.utils import csvio
+    from radix_sort_tpu.utils import native_baseline as nb
+
+    dev_kind = jax.devices()[0].device_kind
+    hbm = next((v for k, v in HBM_GBS.items() if dev_kind.startswith(k)), None)
+    print(f"# device={dev_kind} hbm={hbm} GB/s engine={args.engine}",
+          flush=True)
+
+    name_to_np = {"u32": np.uint32, "i32": np.int32,
+                  "u64": np.uint64, "i64": np.int64,
+                  "f32": np.float32, "f64": np.float64}
+    if args.datatypes in ("all", ""):
+        dtype_names = ["u32", "i32", "u64", "i64"]
+    else:
+        dtype_names = [s for s in args.datatypes.split(",") if s]
+    wanted_ds = {s for s in args.datasets.split(",") if s}
+
+    cfg = SortConfig(engine=args.engine)
+    rows = []
+    for logn in range(args.max_log2, args.min_log2 - 1, -args.step):
+        n = 1 << logn
+        for dname in dtype_names:
+            dt = name_to_np[dname]
+            if np.dtype(dt).itemsize == 8 and not jax.config.jax_enable_x64:
+                jax.config.update("jax_enable_x64", True)
+            for ds in ds_lib.make_datasets(dt, seed=0):
+                if wanted_ds and ds.name not in wanted_ds:
+                    continue
+                data = ds.generate(n)
+                keys = jax.device_put(jnp.asarray(data))
+                secs = timed_chain(
+                    lambda k: sort_ops.sort(k, config=cfg), keys)
+                ms = secs * 1e3
+                mkeys = n / secs / 1e6
+                stl_ms = rdx_ms = 0.0
+                if args.cpu_baselines:
+                    t0 = time.perf_counter()
+                    expected = golden.oracle_sort(data)
+                    stl_ms = (time.perf_counter() - t0) * 1e3
+                    if nb.available():
+                        t0 = time.perf_counter()
+                        nb.radix_sort(data)
+                        rdx_ms = (time.perf_counter() - t0) * 1e3
+                else:
+                    expected = golden.oracle_sort(data)
+                out = np.asarray(jax.jit(
+                    lambda k: sort_ops.sort(k, config=cfg))(keys))
+                valid = golden.validate_bit_exact(out, expected, n)
+                # minimum traffic: one read + one write of keys per pass
+                roof = 0.0
+                if hbm:
+                    passes = (np.dtype(dt).itemsize * 8) // cfg.bits_per_pass
+                    min_bytes = 2 * passes * n * np.dtype(dt).itemsize
+                    roof = (min_bytes / secs) / (hbm * 1e9)
+                row = csvio.PerfRow(
+                    num_elements=n, datatype=dname, dataset=ds.name,
+                    avg_total_gpu=ms, avg_total_stl_cpu=stl_ms,
+                    avg_total_rdx_cpu=rdx_ms, mkeys_per_sec=mkeys,
+                    roofline_frac=roof,
+                    engine=sort_ops._dispatch_engine(cfg.engine))
+                rows.append(row)
+                flag = "" if valid else "  !!INVALID"
+                print(f"2^{logn} {dname:4s} {ds.name:18s} {ms:9.3f} ms "
+                      f"{mkeys:9.1f} Mkeys/s roof={roof:5.1%}{flag}",
+                      flush=True)
+                assert valid, f"validation failed: {dname} {ds.name} n={n}"
+
+    if args.perf_to_csv:
+        os.makedirs(args.csv_dir, exist_ok=True)
+        path = csvio.write_csv(rows, directory=args.csv_dir)
+        print(f"# wrote {path}")
+    if args.perf_to_stdout:
+        csvio.write_rows(rows, sys.stdout)
+
+
+if __name__ == "__main__":
+    main()

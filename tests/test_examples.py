@@ -1,0 +1,43 @@
+"""Example smoke tests (subprocess, CPU backend) — the consumers that play
+the role of the reference's examples/ tree."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=240):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("RST_TEST_TPU", None)
+    return subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+def test_basic_sort_example():
+    r = _run(["examples/basic_sort.py", "--num-elements", "20000"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "validation: OK" in r.stdout
+
+
+def test_visualize_example(tmp_path):
+    pytest.importorskip("matplotlib")
+    out = str(tmp_path / "viz.png")
+    r = _run(["examples/visualize.py", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out) and os.path.getsize(out) > 10000
+
+
+def test_bench_script_importable():
+    # bench.py is exercised on hardware by the driver; here just verify the
+    # module loads and its baseline constant is sane.
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert 40 < mod.BASELINE_MKEYS_PER_SEC < 50
