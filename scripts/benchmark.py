@@ -83,6 +83,8 @@ def main():
         dtype_names = [s for s in args.datatypes.split(",") if s]
     wanted_ds = {s for s in args.datasets.split(",") if s}
 
+    from radix_sort_tpu import datasets_device
+
     cfg = SortConfig(engine=args.engine)
     rows = []
     for logn in range(args.max_log2, args.min_log2 - 1, -args.step):
@@ -91,29 +93,48 @@ def main():
             dt = name_to_np[dname]
             if np.dtype(dt).itemsize == 8 and not jax.config.jax_enable_x64:
                 jax.config.update("jax_enable_x64", True)
-            for ds in ds_lib.make_datasets(dt, seed=0):
-                if wanted_ds and ds.name not in wanted_ds:
+            for ds_name in datasets_device.ALL_NAMES:
+                if wanted_ds and ds_name not in wanted_ds:
                     continue
-                data = ds.generate(n)
-                keys = jax.device_put(jnp.asarray(data))
+                # Data is generated ON DEVICE (host uploads through the dev
+                # tunnel cost minutes at these sizes).
+                keys = jax.jit(
+                    lambda: datasets_device.generate(ds_name, dt, n, seed=0)
+                )()
+                keys.block_until_ready()
                 secs = timed_chain(
                     lambda k: sort_ops.sort(k, config=cfg), keys)
                 ms = secs * 1e3
                 mkeys = n / secs / 1e6
                 stl_ms = rdx_ms = 0.0
+                data = None
                 if args.cpu_baselines:
+                    data = np.asarray(keys)
                     t0 = time.perf_counter()
-                    expected = golden.oracle_sort(data)
+                    golden.oracle_sort(data)
                     stl_ms = (time.perf_counter() - t0) * 1e3
                     if nb.available():
                         t0 = time.perf_counter()
                         nb.radix_sort(data)
                         rdx_ms = (time.perf_counter() - t0) * 1e3
-                else:
-                    expected = golden.oracle_sort(data)
-                out = np.asarray(jax.jit(
-                    lambda k: sort_ops.sort(k, config=cfg))(keys))
-                valid = golden.validate_bit_exact(out, expected, n)
+                # Validation: on-device sortedness + multiset checksums, and
+                # a 2^18-prefix bit-exact host check.
+                out = jax.jit(lambda k: sort_ops.sort(k, config=cfg))(keys)
+                uk = jax.jit(lambda a: a.view(
+                    jnp.uint32 if np.dtype(dt).itemsize == 4
+                    else jnp.uint64))
+                ok_dev = jax.jit(lambda o, k: jnp.all(
+                    sort_ops.dtypes.to_sortable_unsigned(o)[1:]
+                    >= sort_ops.dtypes.to_sortable_unsigned(o)[:-1])
+                    & (jnp.sum(uk(o)) == jnp.sum(uk(k)))
+                    & (jnp.bitwise_xor.reduce(uk(o))
+                       == jnp.bitwise_xor.reduce(uk(k))))(out, keys)
+                m = min(n, 1 << 18)
+                if data is None:
+                    data = np.asarray(keys)
+                prefix_ok = np.array_equal(np.asarray(out[:m]),
+                                           golden.oracle_sort(data)[:m])
+                valid = bool(ok_dev) and prefix_ok
                 # minimum traffic: one read + one write of keys per pass
                 roof = 0.0
                 if hbm:
@@ -121,17 +142,17 @@ def main():
                     min_bytes = 2 * passes * n * np.dtype(dt).itemsize
                     roof = (min_bytes / secs) / (hbm * 1e9)
                 row = csvio.PerfRow(
-                    num_elements=n, datatype=dname, dataset=ds.name,
+                    num_elements=n, datatype=dname, dataset=ds_name,
                     avg_total_gpu=ms, avg_total_stl_cpu=stl_ms,
                     avg_total_rdx_cpu=rdx_ms, mkeys_per_sec=mkeys,
                     roofline_frac=roof,
                     engine=sort_ops._dispatch_engine(cfg.engine))
                 rows.append(row)
                 flag = "" if valid else "  !!INVALID"
-                print(f"2^{logn} {dname:4s} {ds.name:18s} {ms:9.3f} ms "
+                print(f"2^{logn} {dname:4s} {ds_name:18s} {ms:9.3f} ms "
                       f"{mkeys:9.1f} Mkeys/s roof={roof:5.1%}{flag}",
                       flush=True)
-                assert valid, f"validation failed: {dname} {ds.name} n={n}"
+                assert valid, f"validation failed: {dname} {ds_name} n={n}"
 
     if args.perf_to_csv:
         os.makedirs(args.csv_dir, exist_ok=True)
