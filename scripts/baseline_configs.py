@@ -1,0 +1,231 @@
+"""Run the five BASELINE.json benchmark configs end-to-end and record
+results (throughput + bit-exact validation) to BASELINE_RESULTS.json.
+
+  1. u32 key-only LSD radix sort, 1M uniform (CRadixSortCPU reference path)
+  2. key-value sort (u32/u64 + payload) over zeros/range/inverted/random
+  3. filter + hash aggregate (selective predicate -> GROUP BY count/sum)
+  4. radix-partitioned hash join (build+probe), single host
+  5. multi-host-style join+aggregate+sort with skewed keys and the
+     distributed radix shuffle (runs on the available mesh: the simulated
+     8-device CPU mesh in dev, a real slice in production)
+
+Configs 1-4 run on the ambient accelerator; config 5 needs >=2 devices and
+is skipped (with a note) on a single-chip host unless RST_FORCE_CPU_MESH=1
+(then it runs on an 8-device CPU mesh in-process).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = {}
+
+
+def record(name, **kw):
+    RESULTS[name] = kw
+    print(f"[{name}] " + " ".join(f"{k}={v}" for k, v in kw.items()),
+          flush=True)
+
+
+def timed(fn, x, reps=4, iters=2):
+    import jax
+
+    def chained(r):
+        return jax.jit(lambda a: jax.lax.fori_loop(
+            0, r, lambda _, v: fn(v), a))
+
+    f1, fr = chained(1), chained(reps)
+
+    def sync(o):
+        np.asarray(jax.tree.leaves(o)[0][:1])
+
+    sync(f1(x)); sync(fr(x))
+    t1 = trs = None
+    best1 = bestr = 1e9
+    for _ in range(iters):
+        t0 = time.perf_counter(); sync(f1(x)); best1 = min(best1, time.perf_counter() - t0)
+        t0 = time.perf_counter(); sync(fr(x)); bestr = min(bestr, time.perf_counter() - t0)
+    return max(1e-9, (bestr - best1) / (reps - 1))
+
+
+def config1():
+    import jax, jax.numpy as jnp
+    from radix_sort_tpu import sort, golden
+    from radix_sort_tpu.datasets import RandomDistributed
+
+    n = 1 << 20
+    data = RandomDistributed(np.uint32, seed=0).generate(n)
+    keys = jax.device_put(jnp.asarray(data))
+    secs = timed(lambda k: sort(k), keys)
+    out = np.asarray(jax.jit(lambda k: sort(k))(keys))
+    ok = golden.validate_bit_exact(out, golden.cpu_radix_sort(data), n) and \
+        golden.validate_bit_exact(out, golden.oracle_sort(data), n)
+    record("config1_u32_keyonly_1M_uniform",
+           mkeys_per_s=round(n / secs / 1e6, 1), valid=bool(ok))
+
+
+def config2():
+    import jax, jax.numpy as jnp
+    from radix_sort_tpu import sort_kv, golden
+    from radix_sort_tpu import datasets as ds_lib
+
+    n = 1 << 20
+    for dt, dname in ((np.uint32, "u32"), (np.uint64, "u64")):
+        if np.dtype(dt).itemsize == 8:
+            jax.config.update("jax_enable_x64", True)
+        for ds in ds_lib.make_datasets(dt, seed=1):
+            if ds.name == "RandomDistributed":
+                continue  # config names zeros/range/inverted/random
+            data = ds.generate(n)
+            vals = np.arange(n, dtype=np.int32)
+            kd, vd = jax.device_put(jnp.asarray(data)), jax.device_put(
+                jnp.asarray(vals))
+            secs = timed(lambda k: sort_kv(k, vd)[0], kd)
+            k_out, v_out = jax.jit(lambda k, v: sort_kv(k, v))(kd, vd)
+            perm = golden.oracle_argsort(data)
+            ok = np.array_equal(np.asarray(k_out), data[perm]) and \
+                np.array_equal(np.asarray(v_out), vals[perm])
+            record(f"config2_kv_{dname}_{ds.name}",
+                   mpairs_per_s=round(n / secs / 1e6, 1), valid=bool(ok))
+
+
+def config3():
+    import jax, jax.numpy as jnp
+    from radix_sort_tpu.table import Table
+    from radix_sort_tpu.ops import filter as filt, aggregate
+
+    n = 1 << 20
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 1000, n).astype(np.uint32)
+    vals = rng.integers(0, 100, n).astype(np.int32)
+    t = Table.from_numpy({"k": keys, "x": vals})
+
+    def query(cols):
+        tbl = Table(cols)
+        f = filt.filter_expr(tbl, "k", "lt", 500)     # selective predicate
+        g = aggregate.hash_aggregate(
+            f, "k", {"n": ("count", None), "s": ("sum", "x")})
+        return g.columns
+
+    secs = timed(lambda c: query(c), dict(t.columns))
+    out = jax.jit(query)(dict(t.columns))
+    got_keys = np.asarray(out["k"])[:500]
+    mask = keys < 500
+    exp_n = np.bincount(keys[mask], minlength=500)
+    exp_s = np.bincount(keys[mask], weights=vals[mask],
+                        minlength=500).astype(np.int64)
+    ok = np.array_equal(got_keys, np.arange(500)) and \
+        np.array_equal(np.asarray(out["n"])[:500], exp_n) and \
+        np.array_equal(np.asarray(out["s"])[:500].astype(np.int64), exp_s)
+    record("config3_filter_aggregate_1M",
+           mrows_per_s=round(n / secs / 1e6, 1), valid=bool(ok))
+
+
+def config4():
+    import jax, jax.numpy as jnp
+    from radix_sort_tpu.table import Table
+    from radix_sort_tpu.ops import join
+
+    n_probe, n_build = 1 << 20, 1 << 18
+    rng = np.random.default_rng(4)
+    pk = rng.integers(0, 1 << 19, n_probe).astype(np.uint32)
+    bk = rng.permutation(1 << 19)[:n_build].astype(np.uint32)  # unique
+    probe = Table.from_numpy(
+        {"k": pk, "pv": np.arange(n_probe, dtype=np.int32)})
+    build = Table.from_numpy(
+        {"k": bk, "bv": (bk * 3).astype(np.int32)})
+
+    def q(cols):
+        out, stats = join.hash_join(Table(cols), build, "k")
+        return {"k": out.columns["k"], "bv": out.columns["bv"],
+                "cnt": stats["match_count"]}
+
+    secs = timed(lambda c: {"k": q(c)["k"]}, dict(probe.columns))
+    res = jax.jit(q)(dict(probe.columns))
+    cnt = int(res["cnt"])
+    exp = int(np.isin(pk, bk).sum())
+    kk = np.asarray(res["k"])[:cnt]
+    bb = np.asarray(res["bv"])[:cnt]
+    ok = cnt == exp and np.array_equal(bb, (kk * 3).astype(np.int32))
+    record("config4_hash_join_1M_probe_256K_build",
+           mrows_per_s=round(n_probe / secs / 1e6, 1), valid=bool(ok),
+           matches=cnt)
+
+
+def config5():
+    import jax
+
+    if len(jax.devices()) < 2 and not os.environ.get("RST_FORCE_CPU_MESH"):
+        record("config5_multihost_query",
+               skipped="needs >=2 devices (set RST_FORCE_CPU_MESH=1 to "
+               "simulate on CPU)")
+        return
+    import jax.numpy as jnp
+    from radix_sort_tpu.table import Table
+    from radix_sort_tpu.parallel import dist_ops, dist_sort, mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()
+    D = mesh.devices.size
+    n = D * (1 << 14)
+    rng = np.random.default_rng(5)
+    # skewed keys: zipf-ish
+    pk = (rng.zipf(1.3, n) % 4096).astype(np.uint32)
+    pv = np.arange(n, dtype=np.int32)
+    bk = np.arange(4096, dtype=np.uint32)
+    pad = -(-bk.size // D) * D - bk.size
+    build = Table({"k": jnp.asarray(np.concatenate(
+        [bk, np.zeros(pad, np.uint32)])),
+        "bv": jnp.asarray(np.concatenate(
+            [(bk * 7).astype(np.int32), np.zeros(pad, np.int32)]))},
+        num_rows=bk.size)
+    probe = Table.from_numpy({"k": pk, "pv": pv})
+
+    t0 = time.perf_counter()
+    joined, jstats = dist_ops.dist_hash_join(probe, build, "k", mesh=mesh)
+    agg, aover = dist_ops.dist_hash_aggregate(
+        probe, "k", {"n": ("count", None)}, mesh=mesh)
+    ks, vs, sover = dist_sort.dist_sort_kv(
+        jnp.asarray(pk), jnp.asarray(pv), mesh=mesh)
+    jax.block_until_ready(ks)
+    wall = time.perf_counter() - t0
+
+    res = agg.to_numpy()
+    order = np.argsort(res["k"], kind="stable")
+    uk, exp_counts = np.unique(pk, return_counts=True)
+    agg_ok = np.array_equal(res["k"][order], uk) and \
+        np.array_equal(res["n"][order], exp_counts)
+    jres = joined.to_numpy()
+    join_ok = int(jstats["match_count"]) == n and \
+        np.array_equal(jres["bv"], (jres["k"] * 7).astype(np.int32))
+    perm = np.argsort(pk, kind="stable")
+    sort_ok = np.array_equal(np.asarray(ks), pk[perm]) and \
+        np.array_equal(np.asarray(vs), pv[perm]) and not bool(sover)
+    record("config5_multihost_query",
+           devices=D, rows=n, wall_s=round(wall, 2),
+           join_valid=bool(join_ok), agg_valid=bool(agg_ok),
+           sort_valid=bool(sort_ok))
+
+
+def main():
+    import jax
+
+    print(f"# backend={jax.default_backend()} devices={len(jax.devices())}",
+          flush=True)
+    config1()
+    config2()
+    config3()
+    config4()
+    config5()
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BASELINE_RESULTS.json"), "w") as f:
+        json.dump(RESULTS, f, indent=2)
+    print("# wrote BASELINE_RESULTS.json")
+
+
+if __name__ == "__main__":
+    main()
