@@ -2,18 +2,30 @@
 
 TPU-native design: instead of a hash table with random probes (which TPUs
 punish), aggregation is *sort-based*: radix-sort rows by the group key, then
-segment-reduce runs of equal keys (SURVEY.md §7 M3 "radix-partition then
-per-partition reduce").  The sort is the engine's own; the reduction is a
-vectorized segmented scan.  Output capacity equals input capacity (worst
-case: all keys distinct); ``num_rows`` carries the dynamic group count.
+reduce runs of equal keys (SURVEY.md §7 M3 "radix-partition then
+per-partition reduce").  Output capacity equals input capacity (worst case:
+all keys distinct); ``num_rows`` carries the dynamic group count; groups are
+emitted in ascending key order (deterministic — stronger than a hash
+contract).
 
-Padding rows (index >= num_rows) are excluded by partitioning them to the
-tail before reduction.
+Reduction strategy (scatter-free): XLA's TPU scatter runs at ~1.5 GB/s
+(docs/DESIGN.md §2.2), so ``jax.ops.segment_*`` (scatter-adds) are avoided
+on the hot path.  Instead:
+
+  - sum/count: cumulative sums evaluated at run ends; per-group value =
+    adjacent difference after compaction.
+  - min/max: segmented scan via ``lax.associative_scan`` with reset flags.
+  - compaction of the run-end rows to the front: one stable ``lax.sort``
+    keyed on not-run-end — the same fast movement primitive the partition
+    op uses.
+
+``method="segment"`` keeps the scatter-based reference formulation for
+cross-validation in tests.
 """
 
 from __future__ import annotations
 
-from typing import Mapping, Sequence, Tuple
+from typing import Mapping, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,33 +36,7 @@ from ..config import SortConfig, DEFAULT_CONFIG
 from ..table import Table
 from . import sort as sort_ops
 
-# agg spec: output_name -> (op, input_column); op in AGG_OPS.
 AGG_OPS = ("count", "sum", "min", "max", "mean")
-
-
-def _segment_reduce(op: str, vals: jnp.ndarray, seg_ids: jnp.ndarray,
-                    num_segments: int, valid: jnp.ndarray):
-    if op == "count":
-        return jax.ops.segment_sum(valid.astype(jnp.int32), seg_ids,
-                                   num_segments=num_segments)
-    v = vals
-    if op == "sum" or op == "mean":
-        z = jnp.where(valid, v, jnp.zeros((), dtype=v.dtype))
-        s = jax.ops.segment_sum(z, seg_ids, num_segments=num_segments)
-        if op == "sum":
-            return s
-        c = jax.ops.segment_sum(valid.astype(v.dtype), seg_ids,
-                                num_segments=num_segments)
-        return s / jnp.maximum(c, 1)
-    if op == "min":
-        big = _type_extreme(v.dtype, max_side=True)
-        z = jnp.where(valid, v, big)
-        return jax.ops.segment_min(z, seg_ids, num_segments=num_segments)
-    if op == "max":
-        small = _type_extreme(v.dtype, max_side=False)
-        z = jnp.where(valid, v, small)
-        return jax.ops.segment_max(z, seg_ids, num_segments=num_segments)
-    raise ValueError(f"unknown aggregation {op!r}")
 
 
 def _type_extreme(dtype, max_side: bool):
@@ -63,51 +49,162 @@ def _type_extreme(dtype, max_side: bool):
     return jnp.asarray(v, dtype=d)
 
 
-def hash_aggregate(table: Table, key: str,
-                   aggs: Mapping[str, Tuple[str, str | None]],
-                   config: SortConfig = DEFAULT_CONFIG) -> Table:
-    """GROUP BY ``key`` with aggregations ``aggs``.
+def _segmented_scan_minmax(vals, is_new, op):
+    """Inclusive segmented min/max scan: resets at run starts."""
+    def combine(a, b):
+        r1, v1 = a
+        r2, v2 = b
+        return (jnp.logical_or(r1, r2), jnp.where(r2, v2, op(v1, v2)))
 
-    ``aggs`` maps output column name to (op, input_column); input_column is
-    ignored (may be None) for "count".  Returns a Table with the group key
-    column plus one column per aggregation; groups are emitted in ascending
-    key order (a sorted GROUP BY — stronger than the reference-free hash
-    contract, and deterministic).
-    """
+    _, out = jax.lax.associative_scan(combine, (is_new, vals))
+    return out
+
+
+def _sorted_rows(table: Table, key: str, needed_cols, config: SortConfig):
+    """Sort rows by (biased key, padding-last); returns sorted key image,
+    payload dict, and validity."""
     keys = table[key]
-    cap = table.capacity
     valid_in = table.valid_mask()
-
-    # Sort rows by (padding-last, key): bias keys to unsigned and give
-    # padding rows the sentinel so they sink to the tail.
     ku = dtypes.to_sortable_unsigned(keys)
     sent = dtypes._np_scalar(np.dtype(ku.dtype),
                              dtypes.sentinel_max_unsigned(ku.dtype))
     ku = jnp.where(valid_in, ku, sent)
-
-    needed_cols = sorted({c for (_, c) in aggs.values() if c is not None})
     payload = {c: table[c] for c in needed_cols}
     payload["__valid__"] = valid_in.astype(jnp.int32)
     ku_sorted, payload_sorted = sort_ops.sort_kv(ku, payload, config=config)
     valid = payload_sorted.pop("__valid__").astype(bool)
+    return ku_sorted, payload_sorted, valid
 
-    # Run boundaries over the sorted keys; padding contributes no groups.
-    prev = jnp.concatenate([ku_sorted[:1] + 1 if cap else ku_sorted[:1],
-                            ku_sorted[:-1]]) if cap else ku_sorted
-    is_new = jnp.logical_and(valid, jnp.logical_or(
-        jnp.arange(cap, dtype=jnp.int32) == 0, ku_sorted != prev))
-    seg_ids = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    seg_ids = jnp.where(valid, seg_ids, cap - 1 if cap else 0)
+
+def hash_aggregate(table: Table, key: str,
+                   aggs: Mapping[str, Tuple[str, str | None]],
+                   config: SortConfig = DEFAULT_CONFIG,
+                   method: str = "scan") -> Table:
+    """GROUP BY ``key`` with aggregations ``aggs`` (out_name -> (op, col);
+    col may be None for "count")."""
+    for out_name, (op, _) in aggs.items():
+        if op not in AGG_OPS:
+            raise ValueError(f"unknown aggregation {op!r} for {out_name!r}")
+    if method == "segment":
+        return _hash_aggregate_segment(table, key, aggs, config)
+
+    cap = table.capacity
+    keys_dtype = table[key].dtype
+    needed_cols = sorted({c for (_, c) in aggs.values() if c is not None})
+    ku_sorted, payload, valid = _sorted_rows(table, key, needed_cols, config)
+
+    if cap == 0:
+        return Table({key: table[key],
+                      **{n: jnp.zeros((0,), jnp.int32) for n in aggs}},
+                     num_rows=0)
+
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    is_new = jnp.logical_and(
+        valid,
+        jnp.logical_or(idx == 0,
+                       jnp.concatenate([jnp.ones((1,), bool),
+                                        ku_sorted[1:] != ku_sorted[:-1]])))
+    nxt_differs = jnp.concatenate(
+        [ku_sorted[1:] != ku_sorted[:-1], jnp.ones((1,), bool)])
+    nxt_invalid = jnp.concatenate([~valid[1:], jnp.ones((1,), bool)])
+    run_end = jnp.logical_and(valid,
+                              jnp.logical_or(nxt_differs, nxt_invalid))
     num_groups = jnp.sum(is_new.astype(jnp.int32))
 
-    # Group keys: first occurrence of each run.
+    # Columns evaluated at run ends; cumulative ones are diffed after
+    # compaction.
+    end_cols = {"__key__": ku_sorted}
+    diff_cols = set()
+    for out_name, (op, col) in aggs.items():
+        if op == "count":
+            end_cols[out_name] = jnp.cumsum(valid.astype(jnp.int32))
+            diff_cols.add(out_name)
+        elif op in ("sum", "mean"):
+            v = payload[col]
+            z = jnp.where(valid, v, jnp.zeros((), v.dtype))
+            end_cols[out_name] = jnp.cumsum(z)
+            diff_cols.add(out_name)
+            if op == "mean":
+                end_cols[out_name + "__cnt__"] = jnp.cumsum(
+                    valid.astype(jnp.int32))
+                diff_cols.add(out_name + "__cnt__")
+        elif op in ("min", "max"):
+            v = payload[col]
+            fill = _type_extreme(v.dtype, max_side=(op == "min"))
+            z = jnp.where(valid, v, fill)
+            fn = jnp.minimum if op == "min" else jnp.maximum
+            end_cols[out_name] = _segmented_scan_minmax(z, is_new, fn)
+
+    # Compact run-end rows to the front: stable sort by (not run_end).
+    sort_key = jnp.where(run_end, 0, 1).astype(jnp.int32)
+    names = sorted(end_cols)
+    packed = jax.lax.sort((sort_key,) + tuple(end_cols[n] for n in names),
+                          num_keys=1, is_stable=True)[1:]
+    compacted = dict(zip(names, packed))
+
+    def finalize(name):
+        c = compacted[name]
+        if name in diff_cols:
+            prev = jnp.concatenate([jnp.zeros((1,), c.dtype), c[:-1]])
+            return c - prev
+        return c
+
+    out_cols = {key: dtypes.from_sortable_unsigned(
+        compacted["__key__"], keys_dtype)}
+    for out_name, (op, _) in aggs.items():
+        if op == "mean":
+            s = finalize(out_name)
+            cnt = finalize(out_name + "__cnt__")
+            out_cols[out_name] = s / jnp.maximum(cnt, 1)
+        else:
+            out_cols[out_name] = finalize(out_name)
+    return Table(out_cols, num_rows=num_groups)
+
+
+# ---- scatter-based reference formulation (tests cross-validate) ----------
+
+def _segment_reduce(op, vals, seg_ids, num_segments, valid):
+    if op == "count":
+        return jax.ops.segment_sum(valid.astype(jnp.int32), seg_ids,
+                                   num_segments=num_segments)
+    v = vals
+    if op in ("sum", "mean"):
+        z = jnp.where(valid, v, jnp.zeros((), dtype=v.dtype))
+        s = jax.ops.segment_sum(z, seg_ids, num_segments=num_segments)
+        if op == "sum":
+            return s
+        c = jax.ops.segment_sum(valid.astype(v.dtype), seg_ids,
+                                num_segments=num_segments)
+        return s / jnp.maximum(c, 1)
+    if op == "min":
+        z = jnp.where(valid, v, _type_extreme(v.dtype, True))
+        return jax.ops.segment_min(z, seg_ids, num_segments=num_segments)
+    if op == "max":
+        z = jnp.where(valid, v, _type_extreme(v.dtype, False))
+        return jax.ops.segment_max(z, seg_ids, num_segments=num_segments)
+    raise ValueError(op)
+
+
+def _hash_aggregate_segment(table, key, aggs, config):
+    cap = table.capacity
+    keys_dtype = table[key].dtype
+    needed_cols = sorted({c for (_, c) in aggs.values() if c is not None})
+    ku_sorted, payload, valid = _sorted_rows(table, key, needed_cols, config)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    is_new = jnp.logical_and(
+        valid,
+        jnp.logical_or(idx == 0,
+                       jnp.concatenate([jnp.ones((1,), bool),
+                                        ku_sorted[1:] != ku_sorted[:-1]])))
+    seg_ids = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    seg_ids = jnp.where(valid, seg_ids, max(cap - 1, 0))
+    num_groups = jnp.sum(is_new.astype(jnp.int32))
     group_keys_u = jax.ops.segment_max(
-        jnp.where(is_new, ku_sorted, jnp.zeros((), dtype=ku_sorted.dtype)),
-        seg_ids, num_segments=cap)
-    out_cols = {key: dtypes.from_sortable_unsigned(group_keys_u, keys.dtype)}
-
+        jnp.where(is_new, ku_sorted, jnp.zeros((), ku_sorted.dtype)),
+        seg_ids, num_segments=max(cap, 1))
+    out_cols = {key: dtypes.from_sortable_unsigned(group_keys_u, keys_dtype)}
     for out_name, (op, in_col) in aggs.items():
-        vals = payload_sorted[in_col] if in_col is not None else ku_sorted
-        out_cols[out_name] = _segment_reduce(op, vals, seg_ids, cap, valid)
-
+        vals = payload[in_col] if in_col is not None else ku_sorted
+        out_cols[out_name] = _segment_reduce(op, vals, seg_ids,
+                                             max(cap, 1), valid)
     return Table(out_cols, num_rows=num_groups)

@@ -39,6 +39,104 @@ def _searchsorted_left(sorted_u: jnp.ndarray, queries_u: jnp.ndarray):
     return jnp.searchsorted(sorted_u, queries_u, side="left", method="sort")
 
 
+def _biased_with_sentinel(table: Table, key: str):
+    u = dtypes.to_sortable_unsigned(table[key])
+    sent = dtypes._np_scalar(np.dtype(u.dtype),
+                             dtypes.sentinel_max_unsigned(u.dtype))
+    return jnp.where(table.valid_mask(), u, sent)
+
+
+def _merge_scan_join(probe: Table, build: Table, key: str,
+                     out_capacity: int, suffixes):
+    """Gather/scatter-free inner join for unique build keys (the hot path —
+    XLA TPU gather runs at ~1.5 GB/s, docs/DESIGN.md §2.2):
+
+      1. ONE stable multi-key sort of build+probe rows by (key, side) with
+         every column as payload (build rows first among equal keys).
+      2. a segmented forward scan propagates each build row's payload to the
+         probe rows in its key run (lax.associative_scan — no gathers).
+      3. matched probe rows compact to the front with one more stable sort.
+
+    Output rows are emitted in key order (probe order preserved within
+    equal keys).  Padding rows on either side never match (sentinel keys
+    with a no-match flag).
+    """
+    P, B = probe.capacity, build.capacity
+    n = P + B
+    pu = _biased_with_sentinel(probe, key)
+    bu = _biased_with_sentinel(build, key)
+    keys_all = jnp.concatenate([bu, pu])
+    # side: build=0 sorts before probe=1 within a key run.
+    side = jnp.concatenate([jnp.zeros((B,), jnp.int32),
+                            jnp.ones((P,), jnp.int32)])
+    build_valid = jnp.concatenate([build.valid_mask(),
+                                   jnp.zeros((P,), bool)])
+    probe_valid = jnp.concatenate([jnp.zeros((B,), bool),
+                                   probe.valid_mask()])
+
+    operands = [keys_all, side, build_valid, probe_valid]
+    b_names = build.column_names
+    p_names = probe.column_names
+    for nme in b_names:
+        operands.append(jnp.concatenate(
+            [build.columns[nme],
+             jnp.zeros((P,), build.columns[nme].dtype)]))
+    for nme in p_names:
+        operands.append(jnp.concatenate(
+            [jnp.zeros((B,), probe.columns[nme].dtype),
+             probe.columns[nme]]))
+    out = jax.lax.sort(tuple(operands), num_keys=2, is_stable=True)
+    k_s, side_s, bval_s, pval_s = out[0], out[1], out[2], out[3]
+    b_cols_s = dict(zip(b_names, out[4:4 + len(b_names)]))
+    p_cols_s = dict(zip(p_names, out[4 + len(b_names):]))
+
+    # run starts: first row of each distinct key.
+    is_start = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
+    is_build = jnp.logical_and(side_s == 0, bval_s)
+
+    # propagate (has_build, build payload) forward within runs.
+    def combine(a, b):
+        reset_a, hasb_a = a[0], a[1]
+        reset_b, hasb_b = b[0], b[1]
+        out_reset = jnp.logical_or(reset_a, reset_b)
+        out_has = jnp.where(reset_b, hasb_b,
+                            jnp.logical_or(hasb_a, hasb_b))
+        take_b = jnp.logical_or(reset_b, hasb_b)
+        merged = [out_reset, out_has]
+        for va, vb in zip(a[2:], b[2:]):
+            merged.append(jnp.where(take_b, vb, va))
+        return tuple(merged)
+
+    carry_in = (is_start, is_build) + tuple(
+        b_cols_s[nme] for nme in b_names)
+    scanned = jax.lax.associative_scan(combine, carry_in)
+    has_build = scanned[1]
+    prop_b = dict(zip(b_names, scanned[2:]))
+
+    matched = jnp.logical_and(jnp.logical_and(side_s == 1, pval_s),
+                              has_build)
+    n_match = jnp.sum(matched.astype(jnp.int32))
+
+    # compact matched probe rows (with their propagated build payloads).
+    names_out = []
+    vals_out = []
+    for nme in p_names:
+        names_out.append(nme + suffixes[0])
+        vals_out.append(p_cols_s[nme])
+    for nme in b_names:
+        oname = nme + suffixes[1] if (nme + suffixes[0]) in names_out             else nme
+        names_out.append(oname)
+        vals_out.append(prop_b[nme])
+    ck = jnp.where(matched, 0, 1).astype(jnp.int32)
+    packed = jax.lax.sort((ck,) + tuple(vals_out), num_keys=1,
+                          is_stable=True)[1:]
+    n_out = jnp.minimum(n_match, out_capacity)
+    out_cols = {nm: v[:out_capacity] for nm, v in zip(names_out, packed)}
+    stats = {"match_count": n_match,
+             "overflow": n_match > out_capacity}
+    return Table(out_cols, num_rows=n_out), stats
+
+
 def hash_join(probe: Table, build: Table, key: str,
               out_capacity: int | None = None,
               max_duplicates: int = 1,
@@ -60,6 +158,9 @@ def hash_join(probe: Table, build: Table, key: str,
     pk, bk = probe[key], build[key]
     if pk.dtype != bk.dtype:
         raise ValueError(f"join key dtypes differ: {pk.dtype} vs {bk.dtype}")
+
+    if max_duplicates == 1:
+        return _merge_scan_join(probe, build, key, out_capacity, suffixes)
 
     # ---- build phase: sort build side by biased key, padding last.
     bu = dtypes.to_sortable_unsigned(bk)

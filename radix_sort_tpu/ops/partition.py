@@ -23,22 +23,33 @@ def _next_pow2(n: int) -> int:
 
 
 def stable_partition(bucket_ids: jnp.ndarray, arrays, num_buckets: int,
-                     block_elems: int = 1 << 16):
+                     block_elems: int = 1 << 16, method: str = "sort"):
     """Stably reorder ``arrays`` so rows with equal ``bucket_ids`` become
     contiguous, buckets in ascending id order.
-
-    Arbitrary n is handled the way the reference pads to whole sublists
-    (src/RadixSortGPU.cpp:269-297): internally pad with a one-past-the-end
-    bucket id so padding provably lands at the tail, then slice it off.
 
     Returns (reordered_arrays, bucket_counts, bucket_starts) where
     ``bucket_starts`` is the exclusive prefix of counts — the bucket
     boundaries downstream operators (join probe, shuffle send) slice on.
+
+    method="sort" (default): stable ``lax.sort`` keyed on the bucket id —
+    the fastest data movement XLA offers on TPU (measured: XLA scatter runs
+    at ~1.5 GB/s on v5e while the sort network is ~50x faster end-to-end,
+    docs/DESIGN.md §2.2).
+    method="rank": the radix rank+scatter pipeline (the reference-shaped
+    path; used by tests to cross-validate the ranking machinery).
     """
     n = bucket_ids.shape[0]
+    ids = bucket_ids.astype(jnp.int32)
+    if method == "sort":
+        out = jax.lax.sort((ids,) + tuple(arrays), num_keys=1,
+                           is_stable=True)
+        out = tuple(out[1:])
+        total = _counts_big(ids, num_buckets, n)
+        starts = jnp.cumsum(total) - total
+        return out, total, starts
+
     m = min(block_elems, _next_pow2(max(n, 1)))
     padded = -(-max(n, 1) // m) * m
-    ids = bucket_ids.astype(jnp.int32)
     if padded != n:
         pad = jnp.full((padded - n,), num_buckets, dtype=jnp.int32)
         ids = jnp.concatenate([ids, pad])
@@ -54,6 +65,21 @@ def stable_partition(bucket_ids: jnp.ndarray, arrays, num_buckets: int,
     total = total[:num_buckets]
     starts = jnp.cumsum(total) - total
     return out, total, starts
+
+
+def _counts_big(ids: jnp.ndarray, num_buckets: int, n: int) -> jnp.ndarray:
+    """Bucket histogram without materializing an (n, R) one-hot: blockwise
+    one-hot reductions (XLA fuses the compare into the sum per block)."""
+    if n == 0:
+        return jnp.zeros((num_buckets,), jnp.int32)
+    m = min(n, 1 << 15)
+    padded = -(-n // m) * m
+    idp = jnp.concatenate(
+        [ids, jnp.full((padded - n,), num_buckets, jnp.int32)]) \
+        if padded != n else ids
+    blocks = idp.reshape(padded // m, m)
+    counts = ranking.block_digit_counts(blocks, num_buckets + 1)
+    return counts.sum(axis=0)[:num_buckets]
 
 
 def compact_mask(mask: jnp.ndarray, arrays, block_elems: int = 1 << 16):

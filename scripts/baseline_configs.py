@@ -75,18 +75,40 @@ def config2():
     from radix_sort_tpu import datasets as ds_lib
 
     n = 1 << 20
+    vals = np.arange(n, dtype=np.int32)
+    dtype_sel = os.environ.get("RST_CFG2_DTYPES", "u32,u64").split(",")
     for dt, dname in ((np.uint32, "u32"), (np.uint64, "u64")):
+        if dname not in dtype_sel:
+            continue
         if np.dtype(dt).itemsize == 8:
             jax.config.update("jax_enable_x64", True)
+        vd = jax.device_put(jnp.asarray(vals))
+        # jit once per dtype; reuse across the four distributions (remote
+        # compiles are minutes each).
+        step = lambda k: sort_kv(k, vd)[0]  # noqa: E731
+        chain1 = jax.jit(lambda a: jax.lax.fori_loop(
+            0, 1, lambda _, v: step(v), a))
+        chainR = jax.jit(lambda a: jax.lax.fori_loop(
+            0, 4, lambda _, v: step(v), a))
+        full = jax.jit(lambda k, v: sort_kv(k, v))
+
+        def sync(o):
+            np.asarray(o[:1])
+
         for ds in ds_lib.make_datasets(dt, seed=1):
             if ds.name == "RandomDistributed":
                 continue  # config names zeros/range/inverted/random
             data = ds.generate(n)
-            vals = np.arange(n, dtype=np.int32)
-            kd, vd = jax.device_put(jnp.asarray(data)), jax.device_put(
-                jnp.asarray(vals))
-            secs = timed(lambda k: sort_kv(k, vd)[0], kd)
-            k_out, v_out = jax.jit(lambda k, v: sort_kv(k, v))(kd, vd)
+            kd = jax.device_put(jnp.asarray(data))
+            sync(chain1(kd)); sync(chainR(kd))
+            t1 = tr = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter(); sync(chain1(kd))
+                t1 = min(t1, time.perf_counter() - t0)
+                t0 = time.perf_counter(); sync(chainR(kd))
+                tr = min(tr, time.perf_counter() - t0)
+            secs = max(1e-9, (tr - t1) / 3)
+            k_out, v_out = full(kd, vd)
             perm = golden.oracle_argsort(data)
             ok = np.array_equal(np.asarray(k_out), data[perm]) and \
                 np.array_equal(np.asarray(v_out), vals[perm])
@@ -112,7 +134,14 @@ def config3():
             f, "k", {"n": ("count", None), "s": ("sum", "x")})
         return g.columns
 
-    secs = timed(lambda c: query(c), dict(t.columns))
+    # chained timing needs carry structure == input structure: fold the
+    # query output back into the input columns.
+    def step(c):
+        out = query(c)
+        return {"k": c["k"] ^ out["k"],
+                "x": c["x"] + out["s"].astype(jnp.int32)}
+
+    secs = timed(step, dict(t.columns))
     out = jax.jit(query)(dict(t.columns))
     got_keys = np.asarray(out["k"])[:500]
     mask = keys < 500
@@ -145,7 +174,11 @@ def config4():
         return {"k": out.columns["k"], "bv": out.columns["bv"],
                 "cnt": stats["match_count"]}
 
-    secs = timed(lambda c: {"k": q(c)["k"]}, dict(probe.columns))
+    def step(c):
+        out = q(c)
+        return {"k": c["k"] ^ out["k"], "pv": c["pv"]}
+
+    secs = timed(step, dict(probe.columns))
     res = jax.jit(q)(dict(probe.columns))
     cnt = int(res["cnt"])
     exp = int(np.isin(pk, bk).sum())
@@ -216,14 +249,20 @@ def main():
 
     print(f"# backend={jax.default_backend()} devices={len(jax.devices())}",
           flush=True)
-    config1()
-    config2()
-    config3()
-    config4()
-    config5()
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BASELINE_RESULTS.json"), "w") as f:
-        json.dump(RESULTS, f, indent=2)
+    which = sys.argv[1:] or ["1", "2", "3", "4", "5"]
+    fns = {"1": config1, "2": config2, "3": config3, "4": config4,
+           "5": config5}
+    for w in which:
+        fns[w]()
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BASELINE_RESULTS.json")
+    existing = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            existing = json.load(f)
+    existing.update(RESULTS)
+    with open(out_path, "w") as f:
+        json.dump(existing, f, indent=2)
     print("# wrote BASELINE_RESULTS.json")
 
 

@@ -220,3 +220,35 @@ def test_hash_join_under_jit():
     res = out.to_numpy()
     assert int(stats["match_count"]) == 16
     assert np.array_equal(res["k"], np.arange(0, 32, 2))
+
+
+def test_stable_partition_methods_agree():
+    rng = np.random.default_rng(9)
+    ids = rng.integers(0, 11, size=3000).astype(np.int32)
+    vals = np.arange(3000, dtype=np.int32)
+    a = partition.stable_partition(jnp.asarray(ids),
+                                   (jnp.asarray(vals),), 11,
+                                   method="sort")
+    b = partition.stable_partition(jnp.asarray(ids),
+                                   (jnp.asarray(vals),), 11,
+                                   method="rank", block_elems=1024)
+    assert np.array_equal(np.asarray(a[0][0]), np.asarray(b[0][0]))
+    assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    assert np.array_equal(np.asarray(a[2]), np.asarray(b[2]))
+
+
+def test_hash_aggregate_methods_agree():
+    rng = np.random.default_rng(12)
+    keys = rng.integers(0, 30, size=2000).astype(np.int32)
+    vals = rng.integers(-50, 50, size=2000).astype(np.int32)
+    t = Table({"g": jnp.asarray(keys), "x": jnp.asarray(vals)},
+              num_rows=1900)  # include padding rows
+    aggs = {"n": ("count", None), "s": ("sum", "x"),
+            "mn": ("min", "x"), "mx": ("max", "x"), "avg": ("mean", "x")}
+    a = aggregate.hash_aggregate(t, "g", aggs, method="scan")
+    b = aggregate.hash_aggregate(t, "g", aggs, method="segment")
+    ra, rb = a.to_numpy(), b.to_numpy()
+    assert int(a.num_rows) == int(b.num_rows)
+    for col in ("g", "n", "s", "mn", "mx"):
+        assert np.array_equal(ra[col], rb[col]), col
+    assert np.allclose(ra["avg"], rb["avg"])
