@@ -49,8 +49,11 @@ def _type_extreme(dtype, max_side: bool):
     return jnp.asarray(v, dtype=d)
 
 
-def _segmented_scan_minmax(vals, is_new, op):
-    """Inclusive segmented min/max scan: resets at run starts."""
+def _segmented_scan(vals, is_new, op):
+    """Inclusive segmented scan (resets at run starts) for any associative
+    elementwise ``op`` — used for min/max always, and for float sums
+    (restarting per group keeps precision independent of the global prefix,
+    unlike a whole-array cumsum)."""
     def combine(a, b):
         r1, v1 = a
         r2, v2 = b
@@ -122,8 +125,13 @@ def hash_aggregate(table: Table, key: str,
         elif op in ("sum", "mean"):
             v = payload[col]
             z = jnp.where(valid, v, jnp.zeros((), v.dtype))
-            end_cols[out_name] = jnp.cumsum(z)
-            diff_cols.add(out_name)
+            if np.dtype(v.dtype).kind == "f":
+                # per-group restart keeps float precision local
+                end_cols[out_name] = _segmented_scan(z, is_new, jnp.add)
+            else:
+                # int wraparound makes the global-cumsum diff exact mod 2^w
+                end_cols[out_name] = jnp.cumsum(z)
+                diff_cols.add(out_name)
             if op == "mean":
                 end_cols[out_name + "__cnt__"] = jnp.cumsum(
                     valid.astype(jnp.int32))
@@ -133,7 +141,7 @@ def hash_aggregate(table: Table, key: str,
             fill = _type_extreme(v.dtype, max_side=(op == "min"))
             z = jnp.where(valid, v, fill)
             fn = jnp.minimum if op == "min" else jnp.maximum
-            end_cols[out_name] = _segmented_scan_minmax(z, is_new, fn)
+            end_cols[out_name] = _segmented_scan(z, is_new, fn)
 
     # Compact run-end rows to the front: stable sort by (not run_end).
     sort_key = jnp.where(run_end, 0, 1).astype(jnp.int32)

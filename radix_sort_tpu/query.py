@@ -63,8 +63,15 @@ class Query:
         self._steps.append(("join", (other, on, max_duplicates, suffixes)))
         return self
 
-    def sort_by(self, key: str, values_follow: bool = True) -> "Query":
-        self._steps.append(("sort_by", (key,)))
+    def sort_by(self, *keys: str) -> "Query":
+        """Sort by one or more key columns (first = most significant).
+        Multi-key order is realized LSD-style: successive stable sorts from
+        the least-significant key — the same composition the radix sort
+        itself uses per digit."""
+        if len(keys) == 1 and not isinstance(keys[0], str):
+            keys = tuple(keys[0])
+        for k in reversed(keys):
+            self._steps.append(("sort_by", (k,)))
         return self
 
     # ---- execution --------------------------------------------------------

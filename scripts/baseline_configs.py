@@ -34,22 +34,22 @@ def record(name, **kw):
 
 def timed(fn, x, reps=4, iters=2):
     import jax
+    import jax.numpy as jnp
 
-    def chained(r):
-        return jax.jit(lambda a: jax.lax.fori_loop(
-            0, r, lambda _, v: fn(v), a))
-
-    f1, fr = chained(1), chained(reps)
+    # ONE compile: the repetition count is a dynamic fori_loop bound.
+    chained = jax.jit(lambda a, r: jax.lax.fori_loop(
+        0, r, lambda _, v: fn(v), a))
+    r1 = jnp.int32(1)
+    rR = jnp.int32(reps)
 
     def sync(o):
         np.asarray(jax.tree.leaves(o)[0][:1])
 
-    sync(f1(x)); sync(fr(x))
-    t1 = trs = None
+    sync(chained(x, r1)); sync(chained(x, rR))
     best1 = bestr = 1e9
     for _ in range(iters):
-        t0 = time.perf_counter(); sync(f1(x)); best1 = min(best1, time.perf_counter() - t0)
-        t0 = time.perf_counter(); sync(fr(x)); bestr = min(bestr, time.perf_counter() - t0)
+        t0 = time.perf_counter(); sync(chained(x, r1)); best1 = min(best1, time.perf_counter() - t0)
+        t0 = time.perf_counter(); sync(chained(x, rR)); bestr = min(bestr, time.perf_counter() - t0)
     return max(1e-9, (bestr - best1) / (reps - 1))
 
 
@@ -86,11 +86,10 @@ def config2():
         # jit once per dtype; reuse across the four distributions (remote
         # compiles are minutes each).
         step = lambda k: sort_kv(k, vd)[0]  # noqa: E731
-        chain1 = jax.jit(lambda a: jax.lax.fori_loop(
-            0, 1, lambda _, v: step(v), a))
-        chainR = jax.jit(lambda a: jax.lax.fori_loop(
-            0, 4, lambda _, v: step(v), a))
+        chained = jax.jit(lambda a, r: jax.lax.fori_loop(
+            0, r, lambda _, v: step(v), a))
         full = jax.jit(lambda k, v: sort_kv(k, v))
+        r1, rR = jnp.int32(1), jnp.int32(4)
 
         def sync(o):
             np.asarray(o[:1])
@@ -100,12 +99,12 @@ def config2():
                 continue  # config names zeros/range/inverted/random
             data = ds.generate(n)
             kd = jax.device_put(jnp.asarray(data))
-            sync(chain1(kd)); sync(chainR(kd))
+            sync(chained(kd, r1)); sync(chained(kd, rR))
             t1 = tr = 1e9
             for _ in range(2):
-                t0 = time.perf_counter(); sync(chain1(kd))
+                t0 = time.perf_counter(); sync(chained(kd, r1))
                 t1 = min(t1, time.perf_counter() - t0)
-                t0 = time.perf_counter(); sync(chainR(kd))
+                t0 = time.perf_counter(); sync(chained(kd, rR))
                 tr = min(tr, time.perf_counter() - t0)
             secs = max(1e-9, (tr - t1) / 3)
             k_out, v_out = full(kd, vd)

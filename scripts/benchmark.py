@@ -98,10 +98,10 @@ def main():
             # the dev tunnel are minutes each, so per-row lambdas (fresh
             # jit cache entries) would dominate the sweep.
             sort_fn = lambda k: sort_ops.sort(k, config=cfg)  # noqa: E731
-            chain1 = jax.jit(lambda a: jax.lax.fori_loop(
-                0, 1, lambda _, v: sort_fn(v), a))
-            chainR = jax.jit(lambda a: jax.lax.fori_loop(
-                0, 4, lambda _, v: sort_fn(v), a))
+            chained = jax.jit(lambda a, r: jax.lax.fori_loop(
+                0, r, lambda _, v: sort_fn(v), a))
+            chain1 = lambda a: chained(a, jnp.int32(1))  # noqa: E731
+            chainR = lambda a: chained(a, jnp.int32(4))  # noqa: E731
             sorted_fn = jax.jit(sort_fn)
             uview = (jnp.uint32 if np.dtype(dt).itemsize == 4
                      else jnp.uint64)

@@ -41,3 +41,9 @@ def test_bench_script_importable():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert 40 < mod.BASELINE_MKEYS_PER_SEC < 50
+
+
+def test_query_pipeline_example():
+    r = _run(["examples/query_pipeline.py"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "validation: OK" in r.stdout

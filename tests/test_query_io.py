@@ -91,3 +91,16 @@ def test_batch_writer_iter(tmp_path):
     batches = list(rio.iter_batches(str(tmp_path / "runs")))
     assert len(batches) == 3
     assert np.array_equal(np.asarray(batches[2]["a"]), [2, 3, 4, 5])
+
+
+def test_multi_key_sort():
+    t = Table.from_numpy({
+        "a": np.array([2, 1, 2, 1, 2], np.uint32),
+        "b": np.array([9, 5, 1, 7, 1], np.int32),
+        "v": np.arange(5, dtype=np.int32),
+    })
+    out = Query(t).sort_by("a", "b").collect().to_numpy()
+    order = np.lexsort((np.asarray(t["b"]), np.asarray(t["a"])))
+    assert np.array_equal(out["a"], np.asarray(t["a"])[order])
+    assert np.array_equal(out["b"], np.asarray(t["b"])[order])
+    assert np.array_equal(out["v"], order)
