@@ -44,7 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 TILE_ROWS = 128
 TILE = TILE_ROWS * LANES          # 16384 elements per tile
-SENTINEL = np.uint32(0xFFFFFFFF)
+# Kernels run in the sign-biased int32 domain: Mosaic has no unsigned
+# vector min/max, and (u32 ^ 0x8000_0000) viewed as int32 preserves the
+# unsigned order exactly.  The driver converts on entry/exit.
+SENTINEL = np.int32(0x7FFFFFFF)
+_SIGN = np.uint32(0x80000000)
 
 
 def _interpret() -> bool:
@@ -171,9 +175,9 @@ def _merge_kernel(ia_ref, ib_ref, la_ref, in_hbm, o_ref,
 
     _, _, gi = _elem_index(TILE_ROWS)
     a = _rotate_elems(wa[...], ia - ra * LANES, W)[:TILE_ROWS]
-    a = jnp.where(gi < la, a, jnp.uint32(SENTINEL))
+    a = jnp.where(gi < la, a, jnp.int32(SENTINEL))
     b = _rotate_elems(wb[...], ib - rb * LANES, W)[:TILE_ROWS]
-    b = jnp.where(gi < TILE - la, b, jnp.uint32(SENTINEL))
+    b = jnp.where(gi < TILE - la, b, jnp.int32(SENTINEL))
 
     c = jnp.concatenate([a, _flip_tile(b)], axis=0)   # bitonic (256,128)
     merged = _bitonic_merge(c, 2 * TILE_ROWS)
@@ -240,12 +244,18 @@ def _level_splits(x, level: int, num_tiles: int):
 
 def _pad_rows(x, extra_rows: int):
     return jnp.concatenate(
-        [x, jnp.full((extra_rows * LANES,), SENTINEL, jnp.uint32)])
+        [x, jnp.full((extra_rows * LANES,), SENTINEL, jnp.int32)])
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def merge_sort_u32(keys_u32: jnp.ndarray, n: int) -> jnp.ndarray:
     """Sort (n,) uint32 keys ascending via tile sort + merge levels."""
+    out = _merge_sort_i32(
+        jax.lax.bitcast_convert_type(keys_u32 ^ _SIGN, jnp.int32), n)
+    return jax.lax.bitcast_convert_type(out, jnp.uint32) ^ _SIGN
+
+
+def _merge_sort_i32(keys_i32: jnp.ndarray, n: int) -> jnp.ndarray:
     padded = max(TILE, -(-n // TILE) * TILE)
     num_tiles = padded // TILE
     # pad to a power-of-two tile count (merge pairing) + one spill tile
@@ -256,9 +266,9 @@ def merge_sort_u32(keys_u32: jnp.ndarray, n: int) -> jnp.ndarray:
     num_tiles = pot
     padded = num_tiles * TILE
     x = jnp.concatenate([
-        keys_u32,
-        jnp.full((padded - n,), SENTINEL, jnp.uint32)]) if padded != n \
-        else keys_u32
+        keys_i32,
+        jnp.full((padded - n,), SENTINEL, jnp.int32)]) if padded != n \
+        else keys_i32
 
     # level 0: in-VMEM tile sort
     x2 = pl.pallas_call(
@@ -269,7 +279,7 @@ def merge_sort_u32(keys_u32: jnp.ndarray, n: int) -> jnp.ndarray:
         out_specs=pl.BlockSpec((TILE_ROWS, LANES), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_tiles * TILE_ROWS, LANES),
-                                       jnp.uint32),
+                                       jnp.int32),
         interpret=_interpret(),
     )(x.reshape(num_tiles * TILE_ROWS, LANES))
     x = x2.reshape(-1)
@@ -285,8 +295,8 @@ def merge_sort_u32(keys_u32: jnp.ndarray, n: int) -> jnp.ndarray:
             out_specs=pl.BlockSpec((TILE_ROWS, LANES), lambda t, *_: (t, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((TILE_ROWS + 8, LANES), jnp.uint32),
-                pltpu.VMEM((TILE_ROWS + 8, LANES), jnp.uint32),
+                pltpu.VMEM((TILE_ROWS + 8, LANES), jnp.int32),
+                pltpu.VMEM((TILE_ROWS + 8, LANES), jnp.int32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
@@ -295,7 +305,7 @@ def merge_sort_u32(keys_u32: jnp.ndarray, n: int) -> jnp.ndarray:
             _merge_kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((num_tiles * TILE_ROWS, LANES),
-                                           jnp.uint32),
+                                           jnp.int32),
             interpret=_interpret(),
         )(ia, ib, la, xin).reshape(-1)
 

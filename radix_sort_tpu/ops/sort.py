@@ -14,6 +14,9 @@ Engines:
     portable (CPU/TPU), used to validate the radix machinery bit-exactly and
     as the template the Pallas kernels implement.
   - ``pallas``:    per-pass fused Pallas kernels (ops/pallas_radix.py).
+  - ``pallas_merge``: the streaming Pallas merge sort
+    (ops/pallas_merge.py) — key-only, 32-bit key containers; other
+    shapes fall back to xla_sort.
   - ``auto``:      current best for the active backend.
 
 All engines route keys through the order-preserving unsigned transform
@@ -116,6 +119,17 @@ def _sort_biased_jit(keys_u, payloads, config: SortConfig, n: int):
     return _radix_engine_biased(keys_u, payloads, config)
 
 
+def _pallas_merge_engine(keys_u, payloads, n):
+    """Streaming Pallas merge sort; key-only 32-bit containers, with an
+    xla_sort fallback for payloads / 64-bit keys (merge networks are not
+    stable, and Mosaic lacks 64-bit vector compares)."""
+    if payloads or dtypes.key_bits(keys_u.dtype) != 32:
+        return _xla_sort_engine(keys_u, payloads, n)
+    from . import pallas_merge
+
+    return pallas_merge.merge_sort_u32(keys_u, n), ()
+
+
 def _xla_sort_engine(keys_u, payloads, n):
     operands = (keys_u,) + tuple(payloads)
     out = jax.lax.sort(operands, num_keys=1, is_stable=True)
@@ -148,6 +162,8 @@ def _sort_impl(keys: jnp.ndarray, payloads, config: SortConfig):
         from . import pallas_radix
 
         ku, pls = pallas_radix.sort_biased(keys_u, tuple(payloads), config, n)
+    elif engine == "pallas_merge":
+        ku, pls = _pallas_merge_engine(keys_u, payloads, n)
     else:
         raise EngineError(OperationStatus.INITIALIZATION_FAILED,
                           f"unknown engine {engine!r}")

@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--perf-csv-to-stdout", action="store_true")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--engine", default="auto",
-                   choices=("auto", "xla_sort", "xla_radix", "pallas"))
+                   choices=("auto", "xla_sort", "xla_radix", "pallas", "pallas_merge"))
     p.add_argument("--bits-per-pass", type=int, default=8)
     p.add_argument("--datatypes", default="u32,i32,u64,i64")
     p.add_argument("--datasets", default="")

@@ -58,3 +58,15 @@ def test_merge_sort_degenerate():
                  np.arange(2 * pm.TILE, dtype=np.uint32)[::-1].copy()):
         out = np.asarray(pm.merge_sort_u32(jnp.asarray(data), data.size))
         assert np.array_equal(out, np.sort(data))
+
+
+def test_pallas_merge_engine_dispatch():
+    from radix_sort_tpu import sort
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 2**32, 40000, dtype=np.uint32)
+    out = np.asarray(sort(jnp.asarray(data), engine="pallas_merge"))
+    assert np.array_equal(out, np.sort(data))
+    # i32 keys route through the bias transform
+    di = data.view(np.int32)
+    out = np.asarray(sort(jnp.asarray(di), engine="pallas_merge"))
+    assert np.array_equal(out, np.sort(di))
