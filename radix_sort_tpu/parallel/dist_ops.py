@@ -15,7 +15,6 @@ chip, and XLA shapes are static).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Mapping
 
 import jax

@@ -19,7 +19,7 @@ compiles to a single XLA program.
 
 from __future__ import annotations
 
-from typing import Mapping
+
 
 from .config import SortConfig, DEFAULT_CONFIG
 from .table import Table
