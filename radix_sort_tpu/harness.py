@@ -87,6 +87,58 @@ class SortTask:
         self.cpu_runtimes.radix = stats_lib.time_callable_ms(
             radix_fn, iterations=it, warmup=0)
 
+    # -- phase 3b: per-phase instrumentation --------------------------------
+    def measure_phases(self):
+        """Populate the per-kernel columns (avgHistogram/avgScan/avgReorder
+        — avgPaste stays 0: the paste kernel is folded into the scan on TPU,
+        docs/DESIGN.md §2.1) by timing the xla_radix pipeline's stages for
+        one pass and scaling by the pass count.  The production engine runs
+        fused, so these are diagnostic numbers, mirroring the reference's
+        per-kernel stats (src/RadixSortGPU.cpp:37-56)."""
+        import jax.numpy as jnp
+
+        from . import dtypes as dt
+        from .ops import ranking
+        from .utils import profiling
+
+        cfg = self.config
+        ku = dt.to_sortable_unsigned(self._dev_keys)
+        n = ku.shape[0]
+        padded = cfg.padded_size(n)
+        sent = dt._np_scalar(np.dtype(ku.dtype),
+                             dt.sentinel_max_unsigned(ku.dtype))
+        ku = sort_ops._pad_1d(ku, padded, sent)
+        M = min(cfg.block_elems, padded)
+        B = padded // M
+        passes = cfg.num_passes(self.dtype)
+        mask = dt._np_scalar(np.dtype(ku.dtype), cfg.radix - 1)
+
+        def hist(k):
+            d = (k & mask).astype(jnp.int32).reshape(B, M)
+            return k + ranking.block_digit_counts(d, cfg.radix)[0, 0].astype(k.dtype)
+
+        def scan_fn(k):
+            d = (k & mask).astype(jnp.int32).reshape(B, M)
+            counts = ranking.block_digit_counts(d, cfg.radix)
+            total = counts.sum(axis=0)
+            base = (jnp.cumsum(total) - total)[None, :] + (
+                jnp.cumsum(counts, axis=0) - counts)
+            return k + base[0, 0].astype(k.dtype)
+
+        def reorder(k):
+            d = (k & mask).astype(jnp.int32).reshape(B, M)
+            dest, _, _ = ranking.stable_dest(d, cfg.radix,
+                                             sequential_blocks=B > 64)
+            out = ranking.apply_destinations(dest.reshape(-1), (k,))
+            return out[0]
+
+        t_h = profiling.chained_time(hist, ku, iters=2, warmup=1)
+        t_s = profiling.chained_time(scan_fn, ku, iters=2, warmup=1)
+        t_r = profiling.chained_time(reorder, ku, iters=2, warmup=1)
+        self.gpu_runtimes.histogram.update(t_h * passes * 1e3)
+        self.gpu_runtimes.scan.update(max(t_s - t_h, 0.0) * passes * 1e3)
+        self.gpu_runtimes.reorder.update(max(t_r - t_s, 0.0) * passes * 1e3)
+
     # -- phase 3: device sort ---------------------------------------------
     def compute_gpu(self):
         it = self.options.iterations

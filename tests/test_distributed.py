@@ -156,3 +156,17 @@ def test_dist_hash_join(mesh):
     got = sorted(zip(res["k"].tolist(), res["pv"].tolist()))
     exp = sorted((int(k), i) for i, k in enumerate(pk) if k in set(bk.tolist()))
     assert got == exp
+
+
+def test_runtime_single_host_initialize():
+    from radix_sort_tpu.parallel import runtime
+    info = runtime.initialize()
+    assert info.num_processes == 1
+    assert info.global_devices >= 1
+
+
+def test_runtime_health_check(mesh):
+    from radix_sort_tpu.parallel import runtime
+    status = runtime.health_check(mesh)
+    assert status["ok"]
+    assert status["devices"] == 8

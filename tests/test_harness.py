@@ -146,3 +146,14 @@ def test_time_callable():
                                 warmup=1)
     assert st.n == 3
     assert len(calls) == 4
+
+
+def test_phase_instrumentation_populates_columns():
+    ds = datasets.Random(np.uint32)
+    task = harness.SortTask(np.uint32, ds, options=_opts(num_elements=4096),
+                            config=SortConfig(block_elems=1024))
+    task.init_resources()
+    task.measure_phases()
+    row = task.perf_row(True, "xla_radix")
+    assert row.avg_histogram > 0
+    assert row.avg_paste == 0.0  # folded into scan on TPU by design

@@ -115,3 +115,18 @@ def test_unknown_engine_rejected():
     from radix_sort_tpu import EngineError
     with pytest.raises(EngineError):
         sort(jnp.zeros(8, dtype=jnp.uint32), engine="nope")
+
+
+@pytest.mark.parametrize("dt", [np.uint16, np.int16, np.float64],
+                         ids=["u16", "i16", "f64"])
+def test_extended_dtypes(dt):
+    rng = np.random.default_rng(0)
+    if np.dtype(dt).kind == "f":
+        data = rng.standard_normal(3000).astype(dt)
+    else:
+        info = np.iinfo(dt)
+        data = rng.integers(info.min, info.max, 3000, dtype=dt)
+    for eng in ("xla_sort", "xla_radix"):
+        cfg = SortConfig(bits_per_pass=8, block_elems=1024, engine=eng)
+        got = np.asarray(sort(jnp.asarray(data), config=cfg))
+        assert np.array_equal(got, np.sort(data)), eng
