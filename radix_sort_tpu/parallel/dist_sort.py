@@ -41,6 +41,10 @@ from ..config import SortConfig, DEFAULT_CONFIG
 from ..ops import partition as part_ops, sort as sort_ops
 from . import exchange, mesh as mesh_lib
 
+# jitted shard functions cached per call geometry: repeated dist_sort calls
+# (sweeps, escalation retries) must not rebuild/recompile the XLA program.
+_SHARD_FN_CACHE: dict = {}
+
 
 def _strided_samples(x: jnp.ndarray, count: int) -> jnp.ndarray:
     n = x.shape[0]
@@ -183,17 +187,24 @@ def dist_sort_kv(keys: jnp.ndarray, values: Any = None,
     attempts = sorted({base_cap, min(per_dev, base_cap * 4), per_dev})
 
     spec = P(axis)
+    num_leaves = len(leaves)
     for capacity in attempts:
-        fn = functools.partial(
-            _dist_sort_shard, D=D, axis=axis, capacity=capacity,
-            samples=samples, config=config, dense_capacity=per_dev)
-        shard_fn = jax.shard_map(
-            lambda k, pl: fn(k, pl),
-            mesh=mesh,
-            in_specs=(spec, tuple(spec for _ in leaves)),
-            out_specs=tuple([spec] * (1 + len(leaves))) + (P(),),
-        )
-        out = jax.jit(shard_fn)(ku, leaves)
+        cache_key = (id(mesh), axis, D, capacity, samples, config,
+                     per_dev, num_leaves)
+        jitted = _SHARD_FN_CACHE.get(cache_key)
+        if jitted is None:
+            fn = functools.partial(
+                _dist_sort_shard, D=D, axis=axis, capacity=capacity,
+                samples=samples, config=config, dense_capacity=per_dev)
+            shard_fn = jax.shard_map(
+                lambda k, pl: fn(k, pl),
+                mesh=mesh,
+                in_specs=(spec, tuple(spec for _ in range(num_leaves))),
+                out_specs=tuple([spec] * (1 + num_leaves)) + (P(),),
+            )
+            jitted = jax.jit(shard_fn)
+            _SHARD_FN_CACHE[cache_key] = jitted
+        out = jitted(ku, leaves)
         ks, ps, overflow = out[0], out[1:-1], out[-1]
         if not bool(overflow > 0):
             break
