@@ -65,17 +65,28 @@ def _segmented_scan(vals, is_new, op):
 
 def _sorted_rows(table: Table, key: str, needed_cols, config: SortConfig):
     """Sort rows by (biased key, padding-last); returns sorted key image,
-    payload dict, and validity."""
+    payload dict, and validity.
+
+    Uses XLA's UNSTABLE sort: every aggregation here is order-free within a
+    group (count/sum/min/max/mean), and the unstable network is ~2x faster
+    on TPU (docs/DESIGN.md §2.2).  The group-compaction sort downstream
+    stays stable to preserve ascending group order."""
     keys = table[key]
     valid_in = table.valid_mask()
     ku = dtypes.to_sortable_unsigned(keys)
     sent = dtypes._np_scalar(np.dtype(ku.dtype),
                              dtypes.sentinel_max_unsigned(ku.dtype))
     ku = jnp.where(valid_in, ku, sent)
-    payload = {c: table[c] for c in needed_cols}
-    payload["__valid__"] = valid_in.astype(jnp.int32)
-    ku_sorted, payload_sorted = sort_ops.sort_kv(ku, payload, config=config)
-    valid = payload_sorted.pop("__valid__").astype(bool)
+    names = tuple(sorted(needed_cols))
+    # invalid flag as a SECONDARY sort key: the unstable sort may otherwise
+    # interleave padding rows among real keys equal to the sentinel value,
+    # which would split their group at the run-boundary scan.
+    invalid = jnp.where(valid_in, 0, 1).astype(jnp.int32)
+    operands = (ku, invalid) + tuple(table[c] for c in names)
+    out = jax.lax.sort(operands, num_keys=2, is_stable=False)
+    ku_sorted = out[0]
+    valid = out[1] == 0
+    payload_sorted = dict(zip(names, out[2:]))
     return ku_sorted, payload_sorted, valid
 
 

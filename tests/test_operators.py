@@ -252,3 +252,19 @@ def test_hash_aggregate_methods_agree():
     for col in ("g", "n", "s", "mn", "mx"):
         assert np.array_equal(ra[col], rb[col]), col
     assert np.allclose(ra["avg"], rb["avg"])
+
+
+def test_hash_aggregate_max_keys_with_padding():
+    # real keys equal to the dtype max + padding rows: group must not split
+    # (regression for the unstable-sort interleaving edge case).
+    mx = np.iinfo(np.uint32).max
+    t = Table({"g": jnp.asarray(np.array([mx, 5, mx, 5, mx, 0, 0],
+                                         np.uint32)),
+               "x": jnp.asarray(np.arange(7, dtype=np.int32))},
+              num_rows=5)
+    out = aggregate.hash_aggregate(t, "g", {"n": ("count", None),
+                                            "s": ("sum", "x")})
+    res = out.to_numpy()
+    assert np.array_equal(res["g"], [5, mx])
+    assert np.array_equal(res["n"], [2, 3])
+    assert np.array_equal(res["s"], [4, 0 + 2 + 4])
