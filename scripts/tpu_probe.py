@@ -51,10 +51,17 @@ def main():
     print(f"device: {dev.device_kind}", flush=True)
     logn = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     n = 1 << logn
-    rng = np.random.default_rng(0)
-    keys = jax.device_put(jnp.asarray(
-        rng.integers(0, 1 << 32, size=n, dtype=np.uint32)))
-    perm = jax.device_put(jnp.asarray(rng.permutation(n).astype(np.int32)))
+    # generate ON DEVICE: host uploads at these sizes take minutes through
+    # the dev tunnel (see CLAUDE.md environment rules).
+    @jax.jit
+    def _gen():
+        keys = jax.random.bits(jax.random.key(0), (n,), dtype=jnp.uint32)
+        perm = jax.random.permutation(
+            jax.random.key(1), n).astype(jnp.int32)
+        return keys, perm
+
+    keys, perm = _gen()
+    keys.block_until_ready()
 
     results = {}
 
@@ -107,11 +114,10 @@ def main():
 
     # pallas kernels standalone
     from radix_sort_tpu.ops import pallas_radix as pr
-    digits = jax.device_put(jnp.asarray(
-        rng.integers(0, 256, size=n).astype(np.int32)))
+    digits = jax.jit(lambda k: (k & np.uint32(255)).astype(jnp.int32))(keys)
     try:
         rec("pallas hist R=256",
-            bench(lambda d: d + pr.digit_histogram(d, 256, 1 << 15)[0, 0],
+            bench(lambda d: d + pr.digit_histogram(d, 256, 1 << 13)[0, 0],
                   digits), bytes_moved=8 * n)
         rec("pallas hist R=16",
             bench(lambda d: d + pr.digit_histogram(
