@@ -60,9 +60,10 @@ class SortTask:
     # -- phase 1 ----------------------------------------------------------
     def init_resources(self):
         n = self.options.num_elements
-        if n > SortConfig().max_input_elems:
+        if n > self.config.max_input_elems:
             raise EngineError(OperationStatus.RESIZE_FAILED,
-                              f"n={n} exceeds max_input_elems")
+                              f"n={n} exceeds max_input_elems "
+                              f"({self.config.max_input_elems})")
         self._host_keys = self.dataset.generate(n)
         self._dev_keys = jax.device_put(jnp.asarray(self._host_keys))
         if self.with_values:
@@ -166,8 +167,11 @@ class SortTask:
         ok = golden.validate_bit_exact(np.asarray(out_keys),
                                        self._expected, n)
         if self.with_values and ok:
+            # the KV contract is the STABLE permutation, not just any
+            # correct one (CLAUDE.md: stability is a contract).
             perm = np.asarray(self._result[1])
-            ok = bool(np.array_equal(self._host_keys[perm], self._expected))
+            ok = bool(np.array_equal(
+                perm, golden.oracle_argsort(self._host_keys)))
         return ok
 
     # -- phase 5 -----------------------------------------------------------
@@ -206,12 +210,10 @@ class SortTask:
 
 
 def _sort_min_bytes(n: int, dtype, config: SortConfig, kv: bool) -> int:
-    """Speed-of-light byte traffic for an LSD radix sort: each pass reads and
-    writes keys (+ payload) once, plus one digit read for the histogram."""
-    key_b = np.dtype(dtype).itemsize
-    row_b = key_b + (4 if kv else 0)
-    passes = (key_b * 8) // config.bits_per_pass
-    return passes * n * (2 * row_b + key_b)
+    from .utils import profiling
+
+    return profiling.sort_min_bytes(n, dtype, config.bits_per_pass,
+                                    payload_bytes=4 if kv else 0)
 
 
 def run_compute_task(task: SortTask, verbose: bool = False) -> TaskResult:

@@ -93,29 +93,38 @@ def _merge_scan_join(probe: Table, build: Table, key: str,
     # run starts: first row of each distinct key.
     is_start = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
     is_build = jnp.logical_and(side_s == 0, bval_s)
+    # duplicate build keys within one run (violates the max_duplicates=1
+    # contract — reported via the overflow flag, like the expand path).
+    prev_build = jnp.concatenate([jnp.zeros((1,), bool), is_build[:-1]])
+    is_dup = is_build & prev_build & ~is_start
 
-    # propagate (has_build, build payload) forward within runs.
+    # propagate (has_build, run_has_dup, FIRST build payload) within runs.
     def combine(a, b):
-        reset_a, hasb_a = a[0], a[1]
-        reset_b, hasb_b = b[0], b[1]
+        reset_a, hasb_a, dup_a = a[0], a[1], a[2]
+        reset_b, hasb_b, dup_b = b[0], b[1], b[2]
         out_reset = jnp.logical_or(reset_a, reset_b)
         out_has = jnp.where(reset_b, hasb_b,
                             jnp.logical_or(hasb_a, hasb_b))
-        take_b = jnp.logical_or(reset_b, hasb_b)
-        merged = [out_reset, out_has]
-        for va, vb in zip(a[2:], b[2:]):
+        out_dup = jnp.where(reset_b, dup_b, jnp.logical_or(dup_a, dup_b))
+        # keep-first: only adopt b's payload when a has none (or b resets).
+        take_b = jnp.logical_or(reset_b,
+                                jnp.logical_and(hasb_b, ~hasb_a))
+        merged = [out_reset, out_has, out_dup]
+        for va, vb in zip(a[3:], b[3:]):
             merged.append(jnp.where(take_b, vb, va))
         return tuple(merged)
 
-    carry_in = (is_start, is_build) + tuple(
+    carry_in = (is_start, is_build, is_dup) + tuple(
         b_cols_s[nme] for nme in b_names)
     scanned = jax.lax.associative_scan(combine, carry_in)
     has_build = scanned[1]
-    prop_b = dict(zip(b_names, scanned[2:]))
+    run_has_dup = scanned[2]
+    prop_b = dict(zip(b_names, scanned[3:]))
 
     matched = jnp.logical_and(jnp.logical_and(side_s == 1, pval_s),
                               has_build)
     n_match = jnp.sum(matched.astype(jnp.int32))
+    dup_overflow = jnp.any(jnp.logical_and(matched, run_has_dup))
 
     # compact matched probe rows (with their propagated build payloads).
     names_out = []
@@ -133,7 +142,8 @@ def _merge_scan_join(probe: Table, build: Table, key: str,
     n_out = jnp.minimum(n_match, out_capacity)
     out_cols = {nm: v[:out_capacity] for nm, v in zip(names_out, packed)}
     stats = {"match_count": n_match,
-             "overflow": n_match > out_capacity}
+             "overflow": jnp.logical_or(n_match > out_capacity,
+                                        dup_overflow)}
     return Table(out_cols, num_rows=n_out), stats
 
 
@@ -162,14 +172,18 @@ def hash_join(probe: Table, build: Table, key: str,
     if max_duplicates == 1:
         return _merge_scan_join(probe, build, key, out_capacity, suffixes)
 
-    # ---- build phase: sort build side by biased key, padding last.
+    # ---- build phase: sort build side by biased key, padding last (build
+    # validity rides along so candidates can exclude padding rows, which
+    # share the sentinel value with real max-valued keys).
     bu = dtypes.to_sortable_unsigned(bk)
     sent = dtypes._np_scalar(np.dtype(bu.dtype),
                              dtypes.sentinel_max_unsigned(bu.dtype))
     bu = jnp.where(build.valid_mask(), bu, sent)
     b_names = build.column_names
-    bu_sorted, b_sorted = sort_ops.sort_kv(
-        bu, {n: build.columns[n] for n in b_names}, config=config)
+    payload = {n: build.columns[n] for n in b_names}
+    payload["__bvalid__"] = build.valid_mask().astype(jnp.int32)
+    bu_sorted, b_sorted = sort_ops.sort_kv(bu, payload, config=config)
+    bvalid_sorted = b_sorted.pop("__bvalid__").astype(bool)
 
     # ---- probe phase: lower bound of each probe key in the sorted build.
     pu = dtypes.to_sortable_unsigned(pk)
@@ -180,17 +194,22 @@ def hash_join(probe: Table, build: Table, key: str,
     probe_valid = probe.valid_mask()
 
     # Expand each probe row over up to max_duplicates consecutive build rows.
+    # Candidates past the end of the build array are invalid (clamping alone
+    # would duplicate the last row's match).
     offs = jnp.arange(max_duplicates, dtype=jnp.int32)            # (D,)
-    cand = jnp.minimum(lo[:, None] + offs[None, :], Bcap - 1)     # (P, D)
+    raw_cand = lo[:, None] + offs[None, :]                        # (P, D)
+    in_range = raw_cand < Bcap
+    cand = jnp.minimum(raw_cand, Bcap - 1)
     cand_keys = bu_sorted[cand.reshape(-1)].reshape(P, max_duplicates)
-    match = jnp.logical_and(cand_keys == pu[:, None],
-                            probe_valid[:, None])                 # (P, D)
+    cand_valid = bvalid_sorted[cand.reshape(-1)].reshape(P, max_duplicates)
+    match = (cand_keys == pu[:, None]) & probe_valid[:, None] \
+        & in_range & cand_valid                                   # (P, D)
     # Guard duplicate-capped overflow: a run longer than max_duplicates means
     # the D-th candidate still matches — detect for the overflow flag.
     over_cand = jnp.minimum(lo + max_duplicates, Bcap - 1)
-    dup_overflow = jnp.any(jnp.logical_and(
-        bu_sorted[over_cand] == pu,
-        jnp.logical_and(probe_valid, lo + max_duplicates < Bcap)))
+    dup_overflow = jnp.any(
+        (bu_sorted[over_cand] == pu) & bvalid_sorted[over_cand]
+        & probe_valid & (lo + max_duplicates < Bcap))
 
     # ---- emit: flatten (P, D) candidates, compact matches to the front.
     flat_match = match.reshape(-1)

@@ -276,8 +276,12 @@ def sort_biased(keys_u: jnp.ndarray, payloads, config: SortConfig, n: int):
     # Blocks sized to the rank kernel's VMEM budget (one-hot = M*R*4 bytes,
     # a few live copies → keep M*R ≤ 2^19, i.e. ≤2 MB per temporary).
     block = config.block_elems
-    while block * R > (1 << 19) and block > SUBLANES * LANES:
-        block //= 2
+    unit = SUBLANES * LANES
+    while block * R > (1 << 19) and block > unit:
+        # halve, then round down to the vector-tile multiple the kernels
+        # require (a plain halving of e.g. 3072 would leave 1536, which is
+        # not a multiple of 1024).
+        block = max(unit, (block // 2) // unit * unit)
     padded = -(-max(n, 1) // block) * block
     sent = dtypes._np_scalar(np.dtype(keys_u.dtype),
                              dtypes.sentinel_max_unsigned(keys_u.dtype))

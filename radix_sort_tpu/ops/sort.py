@@ -110,6 +110,8 @@ def sort_biased_kv(keys_u, payloads, config: SortConfig = DEFAULT_CONFIG):
 
         return pallas_radix.sort_biased(keys_u, tuple(payloads), config,
                                         keys_u.shape[0])
+    if engine == "pallas_merge":
+        return _pallas_merge_engine(keys_u, payloads, keys_u.shape[0])
     raise EngineError(OperationStatus.INITIALIZATION_FAILED,
                       f"unknown engine {engine!r}")
 

@@ -73,27 +73,40 @@ def _assign_destinations(chunk_u: jnp.ndarray, splitters: jnp.ndarray,
     dest = lo
 
     my = jax.lax.axis_index(axis)
+    # ONE collective for all splitters' tie counts (a per-splitter loop of
+    # scalar all_gathers would serialize D-1 collectives on the hot path).
+    local_counts = jnp.stack(
+        [jnp.sum((chunk_u == splitters[j]).astype(jnp.int32))
+         for j in range(D - 1)]) if D > 1 else jnp.zeros((0,), jnp.int32)
+    counts_mat = jax.lax.all_gather(local_counts, axis)             # (D, D-1)
+    prev_vec = jnp.sum(
+        jnp.where(jnp.arange(D)[:, None] < my, counts_mat, 0), axis=0)
+    total_vec = jnp.maximum(jnp.sum(counts_mat, axis=0), 1)
     for j in range(D - 1):
         v = splitters[j]
         tied = chunk_u == v
-        local_count = jnp.sum(tied.astype(jnp.int32))
-        counts_all = jax.lax.all_gather(local_count, axis)          # (D,)
-        prev = jnp.sum(jnp.where(jnp.arange(D) < my, counts_all, 0))
-        total = jnp.maximum(jnp.sum(counts_all), 1)
         local_rank = jnp.cumsum(tied.astype(jnp.int32)) - 1
-        grank = prev + local_rank
+        grank = prev_vec[j] + local_rank
         # chips [lo_v, hi_v] share value v; spread ranks evenly over them.
         lo_v = jnp.sum((splitters < v).astype(jnp.int32))
         hi_v = jnp.sum((splitters <= v).astype(jnp.int32))
         width = hi_v - lo_v + 1
-        spread = lo_v + (grank * width) // total
+        spread = lo_v + (grank * width) // total_vec[j]
         dest = jnp.where(tied, spread.astype(jnp.int32), dest)
     return jnp.clip(dest, 0, D - 1)
 
 
 def _local_sorted_valid_first(ku, payloads, valid, config):
     """Partition valid rows first, then stable-sort by key: LSD order gives
-    key-major, valid-before-padding, source-order-stable results."""
+    key-major, valid-before-padding, source-order-stable results.
+
+    The pallas_merge engine is not shard_map-compatible yet (Pallas output
+    avals need explicit vma under check_vma) — fall back to xla_sort for
+    the local sort when it is selected."""
+    import dataclasses
+
+    if sort_ops._dispatch_engine(config.engine) == "pallas_merge":
+        config = dataclasses.replace(config, engine="xla_sort")
     arrays = (ku,) + tuple(payloads)
     out, _ = part_ops.compact_mask(valid, arrays)
     ku2, payloads2 = out[0], out[1:]

@@ -268,3 +268,96 @@ def test_hash_aggregate_max_keys_with_padding():
     assert np.array_equal(res["g"], [5, mx])
     assert np.array_equal(res["n"], [2, 3])
     assert np.array_equal(res["s"], [4, 0 + 2 + 4])
+
+
+# --- regressions from the round-1 code review --------------------------------
+
+def test_join_expand_no_duplicate_at_build_end():
+    build = Table.from_numpy({"k": np.array([1, 2, 3], np.uint32),
+                              "bv": np.array([10, 20, 30], np.int32)})
+    probe = Table.from_numpy({"k": np.array([3], np.uint32)})
+    out, stats = join.hash_join(probe, build, "k", max_duplicates=2)
+    assert int(stats["match_count"]) == 1
+    res = out.to_numpy()
+    assert np.array_equal(res["k"], [3])
+    assert np.array_equal(res["bv"], [30])
+
+
+def test_join_expand_sentinel_key_vs_padding():
+    mx = np.iinfo(np.uint32).max
+    build = Table({"k": jnp.asarray(np.array([1, 2, 0, 0], np.uint32)),
+                   "bv": jnp.asarray(np.array([10, 20, 0, 0], np.int32))},
+                  num_rows=2)
+    probe = Table.from_numpy({"k": np.array([mx], np.uint32)})
+    out, stats = join.hash_join(probe, build, "k", max_duplicates=2)
+    assert int(stats["match_count"]) == 0
+
+
+def test_join_merge_sentinel_key_matches_real_max_only():
+    mx = np.iinfo(np.uint32).max
+    build = Table({"k": jnp.asarray(np.array([mx, 2, 0], np.uint32)),
+                   "bv": jnp.asarray(np.array([99, 20, 0], np.int32))},
+                  num_rows=2)
+    probe = Table.from_numpy({"k": np.array([mx], np.uint32)})
+    out, stats = join.hash_join(probe, build, "k")
+    assert int(stats["match_count"]) == 1
+    assert np.array_equal(out.to_numpy()["bv"], [99])
+
+
+def test_join_merge_duplicate_build_flags_overflow_and_keeps_first():
+    build = Table.from_numpy({"k": np.array([5, 5], np.uint32),
+                              "bv": np.array([100, 101], np.int32)})
+    probe = Table.from_numpy({"k": np.array([5], np.uint32)})
+    out, stats = join.hash_join(probe, build, "k", max_duplicates=1)
+    assert bool(stats["overflow"])  # duplicate run under max_duplicates=1
+    res = out.to_numpy()
+    assert np.array_equal(res["bv"], [100])  # FIRST duplicate, like expand
+
+
+def test_join_randomized_vs_numpy():
+    # fixed capacities (variable num_rows) so all trials share one compile
+    rng = np.random.default_rng(123)
+    CAP_B, CAP_P = 40, 60
+    for trial in range(20):
+        nb = int(rng.integers(1, CAP_B))
+        npb = int(rng.integers(1, CAP_P))
+        bk = rng.choice(np.arange(50, dtype=np.uint32), nb, replace=False)
+        pk = rng.integers(0, 50, npb).astype(np.uint32)
+        build = Table({"k": jnp.asarray(np.resize(bk, CAP_B)),
+                       "bv": jnp.asarray(np.resize(bk.astype(np.int32) * 3,
+                                                   CAP_B))}, num_rows=nb)
+        probe = Table({"k": jnp.asarray(np.resize(pk, CAP_P))},
+                      num_rows=npb)
+        out, stats = join.hash_join(probe, build, "k")
+        res = out.to_numpy()
+        exp = int(np.isin(pk, bk).sum())
+        assert int(stats["match_count"]) == exp, trial
+        assert not bool(stats["overflow"])
+        assert np.array_equal(np.sort(res["k"]),
+                              np.sort(pk[np.isin(pk, bk)])), trial
+        assert np.array_equal(res["bv"], res["k"].astype(np.int32) * 3)
+
+
+def test_join_expand_randomized_duplicates_vs_numpy():
+    rng = np.random.default_rng(321)
+    CAP_B, CAP_P = 30, 40
+    for trial in range(15):
+        nb = int(rng.integers(2, CAP_B))
+        npb = int(rng.integers(1, CAP_P))
+        bk = rng.integers(0, 12, nb).astype(np.uint32)
+        # cap duplicates at 4 to stay within max_duplicates
+        vals, counts = np.unique(bk, return_counts=True)
+        while counts.max() > 4:
+            bk = rng.integers(0, 12, nb).astype(np.uint32)
+            vals, counts = np.unique(bk, return_counts=True)
+        pk = rng.integers(0, 12, npb).astype(np.uint32)
+        build = Table({"k": jnp.asarray(np.resize(bk, CAP_B)),
+                       "bv": jnp.asarray(np.resize(
+                           np.arange(nb, dtype=np.int32), CAP_B))},
+                      num_rows=nb)
+        probe = Table({"k": jnp.asarray(np.resize(pk, CAP_P))},
+                      num_rows=npb)
+        out, stats = join.hash_join(probe, build, "k", max_duplicates=4)
+        exp = sum(int((bk == k).sum()) for k in pk)
+        assert int(stats["match_count"]) == exp, trial
+        assert not bool(stats["overflow"]), trial
