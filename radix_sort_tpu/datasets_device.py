@@ -42,10 +42,16 @@ def generate(name: str, dtype, n: int, seed: int = 0):
         else:
             out = dtypes.jax_bitcast(bits, d) if d.kind == "i" \
                 else bits.astype(d)
-        if name == "RandomDistributed" and n >= 2 and d.kind != "f":
-            info = np.iinfo(d)
-            out = out.at[0].set(d.type(info.min)).at[n - 1].set(
-                d.type(info.max))
+        if name == "RandomDistributed" and n >= 2:
+            if d.kind == "f":
+                # match the host twin (datasets.py): plant the dtype extremes
+                # at the ends so the inf edge cases are exercised on device.
+                out = out.at[0].set(d.type(-np.inf)).at[n - 1].set(
+                    d.type(np.inf))
+            else:
+                info = np.iinfo(d)
+                out = out.at[0].set(d.type(info.min)).at[n - 1].set(
+                    d.type(info.max))
         return out
     if name in ("Range", "InvertedRange"):
         base = jnp.arange(n, dtype=u if d.kind != "f" else d)

@@ -151,8 +151,13 @@ class SortTask:
             fn = jax.jit(lambda k: sort_ops.sort(k, config=cfg))
             args = (self._dev_keys,)
 
+        # Sync by materializing a dependent slice on the host:
+        # block_until_ready acks early over the dev tunnel transport
+        # (CLAUDE.md), which would understate latencies on real TPU.
         def run():
-            jax.block_until_ready(fn(*args))
+            out = fn(*args)
+            leaf = jax.tree.leaves(out)[0]
+            np.asarray(leaf[:1])
 
         self.gpu_runtimes.total = stats_lib.time_callable_ms(
             run, iterations=it, warmup=1)

@@ -63,36 +63,99 @@ def _choose_splitters(all_samples: jnp.ndarray, num_devices: int):
     return s[idx]
 
 
+def _segment_ffill(seeded: jnp.ndarray, is_set: jnp.ndarray) -> jnp.ndarray:
+    """Forward-fill ``seeded`` values (valid where ``is_set``) — a
+    log-depth associative scan, no gathers."""
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return jnp.logical_or(fa, fb), jnp.where(fb, vb, va)
+
+    _, filled = jax.lax.associative_scan(comb, (is_set, seeded))
+    return filled
+
+
 def _assign_destinations(chunk_u: jnp.ndarray, splitters: jnp.ndarray,
                          num_devices: int, axis: str) -> jnp.ndarray:
-    """Destination chip per key, with tie spreading by global rank."""
+    """Destination chip per key, with tie spreading by global rank.
+
+    Fully vectorized (no Python loop over splitters): per-key tie group ids
+    come from rank-vs-splitters comparisons; ranks among equals come from
+    one stable sort + segment scan; per-group table values are forward-
+    filled along the sorted order.  Trace size and collective count are
+    O(1) in D; per-key work is O(D) fused compares + two local sorts —
+    scalable to 256-chip meshes where the old per-splitter unrolling
+    (O(D^2) traced ops, O(n·D) cumsums) was pathological."""
     D = num_devices
+    n = chunk_u.shape[0]
+    if D == 1:
+        return jnp.zeros((n,), jnp.int32)
+    S = D - 1
     # lo = #splitters < k, hi = #splitters <= k; untied keys go to chip lo.
-    lo = jnp.sum(splitters[None, :] < chunk_u[:, None], axis=1).astype(jnp.int32)
-    hi = jnp.sum(splitters[None, :] <= chunk_u[:, None], axis=1).astype(jnp.int32)
-    dest = lo
+    lo = jnp.sum(splitters[None, :] < chunk_u[:, None],
+                 axis=1).astype(jnp.int32)
+    hi = jnp.sum(splitters[None, :] <= chunk_u[:, None],
+                 axis=1).astype(jnp.int32)
+    tied = lo != hi
+    # group id = index of the (first) splitter equal to the key; untied
+    # keys get the sentinel group S and are ignored downstream.
+    j = jnp.where(tied, jnp.minimum(lo, S - 1), S)
 
     my = jax.lax.axis_index(axis)
-    # ONE collective for all splitters' tie counts (a per-splitter loop of
-    # scalar all_gathers would serialize D-1 collectives on the hot path).
-    local_counts = jnp.stack(
-        [jnp.sum((chunk_u == splitters[j]).astype(jnp.int32))
-         for j in range(D - 1)]) if D > 1 else jnp.zeros((0,), jnp.int32)
-    counts_mat = jax.lax.all_gather(local_counts, axis)             # (D, D-1)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    # Sort keys by group id; within a group the original order survives
+    # (stable), so position - segment_start = local rank among equals.
+    sj, sidx = jax.lax.sort((j, iota), num_keys=1, is_stable=True)
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sj[1:] != sj[:-1]])
+    start_pos = _segment_ffill(jnp.where(seg_start, iota, 0), seg_start)
+    rank_sorted = iota - start_pos
+
+    # Per-group tie counts fall out of the sorted segment boundaries
+    # (searchsorted over the sorted group ids — O(S log n), no n-sized
+    # one-hot); ONE collective shares them.
+    starts_tbl = jnp.searchsorted(
+        sj, jnp.arange(S + 1, dtype=sj.dtype), side="left"
+    ).astype(jnp.int32)                                          # (S+1,)
+    group_counts = jnp.diff(jnp.append(starts_tbl, jnp.int32(n)))
+    local_counts = group_counts[:S]
+    counts_mat = jax.lax.all_gather(local_counts, axis)          # (D, S)
     prev_vec = jnp.sum(
         jnp.where(jnp.arange(D)[:, None] < my, counts_mat, 0), axis=0)
     total_vec = jnp.maximum(jnp.sum(counts_mat, axis=0), 1)
-    for j in range(D - 1):
-        v = splitters[j]
-        tied = chunk_u == v
-        local_rank = jnp.cumsum(tied.astype(jnp.int32)) - 1
-        grank = prev_vec[j] + local_rank
-        # chips [lo_v, hi_v] share value v; spread ranks evenly over them.
-        lo_v = jnp.sum((splitters < v).astype(jnp.int32))
-        hi_v = jnp.sum((splitters <= v).astype(jnp.int32))
-        width = hi_v - lo_v + 1
-        spread = lo_v + (grank * width) // total_vec[j]
-        dest = jnp.where(tied, spread.astype(jnp.int32), dest)
+
+    # Per-splitter tied chip range [lo_s, hi_s] (duplicated splitters give
+    # every tied copy the same value range).  All (S, S) — tiny.
+    lo_s = jnp.sum(splitters[None, :] < splitters[:, None],
+                   axis=1).astype(jnp.int32)
+    hi_s = jnp.sum(splitters[None, :] <= splitters[:, None],
+                   axis=1).astype(jnp.int32)
+    width = hi_s - lo_s                                          # +1 chips
+
+    # Broadcast the four per-group tables to per-key values along the
+    # sorted order: scatter each non-empty group's row onto its segment
+    # start (≤ S+1 tiny updates; empty groups are routed out of bounds,
+    # which XLA drops), then forward-fill.  No n-sized gathers (XLA
+    # gather/scatter are off-limits on hot paths — CLAUDE.md) — the only
+    # index ops here touch O(S) elements.
+    tbl = jnp.stack([prev_vec, total_vec, lo_s, width], axis=1)  # (S, 4)
+    tbl = jnp.concatenate([tbl, jnp.zeros((1, 4), jnp.int32)])   # group S
+    seed_pos = jnp.where(group_counts > 0, starts_tbl, n)        # n = OOB
+    seeds = jnp.zeros((n, 4), jnp.int32).at[seed_pos].set(
+        tbl, mode="drop")
+    filled = _segment_ffill(seeds, seg_start[:, None])
+    prev_f, total_f, lo_f, width_f = (filled[:, 0], filled[:, 1],
+                                      filled[:, 2], filled[:, 3])
+
+    grank = prev_f + rank_sorted
+    spread_sorted = lo_f + (grank * (width_f + 1)) // jnp.maximum(
+        total_f, 1)  # untied sentinel rows carry 0s; masked out below
+
+    # Scatter the spreads back to original key order with a second sort
+    # (sort-by-original-index == inverse permutation).
+    _, spread = jax.lax.sort((sidx, spread_sorted), num_keys=1,
+                             is_stable=False)
+    dest = jnp.where(tied, spread, lo)
     return jnp.clip(dest, 0, D - 1)
 
 

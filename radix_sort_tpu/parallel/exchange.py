@@ -43,15 +43,23 @@ def ragged_all_to_all(arrays, dest: jnp.ndarray, num_devices: int,
     out, counts, starts = partition.stable_partition(dest, arrays, D)
     overflow_local = jnp.any(counts > C)
 
-    # Pack: send[d, j] = partitioned[starts[d] + j], masked past counts[d].
+    # Pack: send[d, :] = partitioned[starts[d] : starts[d]+C], masked past
+    # counts[d].  One CONTIGUOUS dynamic slice per destination (vmapped →
+    # an XLA gather with C-length slices), not a (D*C,)-element gather —
+    # element gather runs at ~1.4 GB/s on this chip (docs/DESIGN.md §2.2)
+    # and this is the multi-chip hot path.
     j = jnp.arange(C, dtype=jnp.int32)[None, :]                 # (1, C)
-    gather_idx = jnp.clip(starts[:, None] + j, 0,
-                          max(out[0].shape[0] - 1, 0))          # (D, C)
     in_slot = j < counts[:, None]                               # (D, C)
 
     send_bufs = []
     for a, fill in zip(out, fills):
-        buf = a[gather_idx.reshape(-1)].reshape(D, C)
+        # pad by C so starts[d]+C never clamps (dynamic_slice clamps OOB
+        # starts, which would silently shift the valid rows).
+        a_pad = jnp.concatenate(
+            [a, jnp.full((C,), fill, dtype=a.dtype)])
+        take = jax.vmap(
+            lambda s, arr=a_pad: jax.lax.dynamic_slice_in_dim(arr, s, C))
+        buf = take(starts)                                      # (D, C)
         buf = jnp.where(in_slot, buf, jnp.asarray(fill, dtype=a.dtype))
         send_bufs.append(buf)
 

@@ -10,6 +10,7 @@ failure-detection hook the reference lacked entirely (SURVEY.md §5).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 
@@ -54,25 +55,58 @@ def initialize(coordinator_address: str | None = None,
 
 
 def health_check(mesh=None, timeout_s: float = 30.0) -> dict:
-    """All-reduce a per-process heartbeat across the mesh; returns per-host
-    status.  A hung or dead host surfaces as a timeout here rather than a
-    silent stall inside a collective."""
+    """All-reduce a per-device heartbeat across the mesh with a REAL
+    collective (lax.psum inside shard_map over the mesh axis), so the
+    reduction traverses ICI/DCN: a hung or dead host surfaces as a timeout
+    or a wrong count here rather than a silent stall inside a later
+    collective.  The psum runs in a daemon thread so ``timeout_s`` bounds
+    the wait even when a peer never shows up."""
+    import threading
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from . import mesh as mesh_lib
 
     if mesh is None:
         mesh = mesh_lib.make_mesh()
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
     t0 = time.time()
-    token = jnp.ones((mesh.devices.size,), jnp.int32)
-    try:
-        total = jax.jit(lambda t: jnp.sum(t))(token)
-        ok = int(total) == mesh.devices.size
-    except Exception as e:  # noqa: BLE001
-        return {"ok": False, "error": str(e),
-                "elapsed_s": time.time() - t0}
-    return {"ok": bool(ok), "devices": mesh.devices.size,
+
+    # One token per device, sharded over the mesh axis; each shard psums
+    # over the axis → every device must participate for the sum to arrive.
+    tokens = jax.device_put(
+        jnp.ones((D,), jnp.int32), NamedSharding(mesh, P(axis)))
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    def _heartbeat(t):
+        return jnp.reshape(jax.lax.psum(jnp.sum(t), axis), (1,))
+
+    result: dict = {}
+
+    def _run():
+        try:
+            out = np.asarray(_heartbeat(tokens))
+            result["total"] = int(out[0])
+        except Exception as e:  # noqa: BLE001
+            result["error"] = str(e)
+
+    th = threading.Thread(target=_run, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    elapsed = round(time.time() - t0, 3)
+    if th.is_alive():
+        return {"ok": False, "error": f"heartbeat timed out after "
+                f"{timeout_s}s (dead or hung peer)", "elapsed_s": elapsed}
+    if "error" in result:
+        return {"ok": False, "error": result["error"], "elapsed_s": elapsed}
+    ok = result.get("total") == D
+    return {"ok": bool(ok), "devices": D,
+            "heartbeat_total": result.get("total"),
             "process_count": jax.process_count(),
-            "elapsed_s": round(time.time() - t0, 3)}
+            "elapsed_s": elapsed}

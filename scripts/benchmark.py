@@ -111,11 +111,16 @@ def main():
                 & (jnp.sum(o.view(uview)) == jnp.sum(k.view(uview)))
                 & (jnp.bitwise_xor.reduce(o.view(uview))
                    == jnp.bitwise_xor.reduce(k.view(uview))))
+            # NB: bind the loop variable at definition time (nm=nm) — a bare
+            # closure would make every lax.switch branch generate the LAST
+            # distribution in ALL_NAMES, silently mislabeling the sweep.
             gen_fn = jax.jit(
-                lambda name_idx, seed: jax.lax.switch(
+                lambda name_idx, seed, _dt=dt, _n=n: jax.lax.switch(
                     name_idx,
-                    [lambda: datasets_device.generate(nm, dt, n, seed=0)
-                     for nm in datasets_device.ALL_NAMES]))
+                    [lambda s, nm=nm, d=_dt, m=_n:
+                     datasets_device.generate(nm, d, m, seed=s)
+                     for nm in datasets_device.ALL_NAMES],
+                    seed))
 
             def sync(o):
                 np.asarray(o[:1])

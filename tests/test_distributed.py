@@ -170,3 +170,31 @@ def test_runtime_health_check(mesh):
     status = runtime.health_check(mesh)
     assert status["ok"]
     assert status["devices"] == 8
+    # the heartbeat must be a real collective: every device's token summed
+    # over the mesh axis (a host-local sum would not prove participation).
+    assert status["heartbeat_total"] == 8
+
+
+def test_runtime_health_check_timeout_path(mesh):
+    """A heartbeat that never completes must surface as ok=False within
+    timeout_s, not hang the caller."""
+    from radix_sort_tpu.parallel import runtime
+
+    orig = jax.shard_map
+
+    def hanging_shard_map(*a, **k):
+        fn = orig(*a, **k)
+
+        def wrapped(*args):
+            import time as _t
+            _t.sleep(30.0)
+            return fn(*args)
+        return wrapped
+
+    jax.shard_map = hanging_shard_map
+    try:
+        status = runtime.health_check(mesh, timeout_s=1.0)
+    finally:
+        jax.shard_map = orig
+    assert not status["ok"]
+    assert "timed out" in status["error"]
