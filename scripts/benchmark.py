@@ -53,14 +53,28 @@ def main():
     ap.add_argument("--datatypes", default="u32")
     ap.add_argument("--datasets", default="")
     ap.add_argument("--engine", default="auto")
-    ap.add_argument("--cpu-baselines", action="store_true",
-                    help="also time np.sort + native radix per row (slow)")
+    ap.add_argument("--cpu-baselines", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="time np.sort + native radix per row (reference "
+                         "parity: CRadixSortTask.cpp:172-222 runs CPU "
+                         "baselines on every row)")
+    ap.add_argument("--phases", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="populate per-kernel columns (histogram/scan/"
+                         "reorder) via the phase-split diagnostic path "
+                         "(reference parity: RadixSortGPU.cpp:37-56); adds "
+                         "3 compiles per (n, dtype)")
     ap.add_argument("--perf-to-csv", action="store_true")
     ap.add_argument("--perf-to-stdout", action="store_true")
     ap.add_argument("--csv-dir", default="Performance")
     args = ap.parse_args()
 
     import jax
+
+    if os.environ.get("RST_FORCE_CPU"):
+        # env var alone is ignored under the axon sitecustomize (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from radix_sort_tpu import datasets as ds_lib, dtypes as dt_lib, golden
@@ -125,6 +139,54 @@ def main():
             def sync(o):
                 np.asarray(o[:1])
 
+            # Phase-split diagnostic fns (per-kernel columns).  Chained the
+            # same way as the main timing; jitted once per (n, dtype).
+            phase_chains = None
+            if args.phases and np.dtype(dt).kind in "iu":
+                from radix_sort_tpu.ops import ranking
+
+                passes = (np.dtype(dt).itemsize * 8) // cfg.bits_per_pass
+                padded = cfg.padded_size(n)
+                M = min(cfg.block_elems, padded)
+                B = padded // M
+                mask_v = cfg.radix - 1
+
+                def _prep(k):
+                    ku = sort_ops.dtypes.to_sortable_unsigned(k)
+                    sent = sort_ops.dtypes._np_scalar(
+                        np.dtype(ku.dtype),
+                        sort_ops.dtypes.sentinel_max_unsigned(ku.dtype))
+                    ku = sort_ops._pad_1d(ku, padded, sent)
+                    d = (ku & sort_ops.dtypes._np_scalar(
+                        np.dtype(ku.dtype), mask_v)).astype(jnp.int32)
+                    return ku, d.reshape(B, M)
+
+                def ph_hist(k):
+                    _, d = _prep(k)
+                    c = ranking.block_digit_counts(d, cfg.radix)
+                    return k + c[0, 0].astype(k.dtype)
+
+                def ph_scan(k):
+                    _, d = _prep(k)
+                    c = ranking.block_digit_counts(d, cfg.radix)
+                    total = c.sum(axis=0)
+                    base = (jnp.cumsum(total) - total)[None, :] + (
+                        jnp.cumsum(c, axis=0) - c)
+                    return k + base[0, 0].astype(k.dtype)
+
+                def ph_reorder(k):
+                    ku, d = _prep(k)
+                    dest, _, _ = ranking.stable_dest(
+                        d, cfg.radix, sequential_blocks=B > 64)
+                    out = ranking.apply_destinations(
+                        dest.reshape(-1), (ku,))
+                    return k + out[0][:n].astype(k.dtype)
+
+                phase_chains = [
+                    jax.jit(lambda a, r, f=f: jax.lax.fori_loop(
+                        0, r, lambda _, v: f(v), a))
+                    for f in (ph_hist, ph_scan, ph_reorder)]
+
             for ds_idx, ds_name in enumerate(datasets_device.ALL_NAMES):
                 if wanted_ds and ds_name not in wanted_ds:
                     continue
@@ -146,6 +208,29 @@ def main():
                     secs = max(t1, 1e-9)
                 ms = secs * 1e3
                 mkeys = n / secs / 1e6
+
+                # Per-kernel columns: time cumulative prefixes of the pass
+                # pipeline (hist, hist+scan, hist+scan+reorder) for one pass
+                # and scale by the pass count; differences give each stage.
+                t_h = t_s = t_r = 0.0
+                if phase_chains is not None:
+                    cum = []
+                    for ch in phase_chains:
+                        sync(ch(keys, jnp.int32(1)))
+                        sync(ch(keys, jnp.int32(4)))
+                        ta = tb = 1e9
+                        for _ in range(2):
+                            t0 = time.perf_counter()
+                            sync(ch(keys, jnp.int32(1)))
+                            ta = min(ta, time.perf_counter() - t0)
+                            t0 = time.perf_counter()
+                            sync(ch(keys, jnp.int32(4)))
+                            tb = min(tb, time.perf_counter() - t0)
+                        cum.append(max((tb - ta) / 3, 0.0))
+                    t_h = cum[0] * passes * 1e3
+                    t_s = max(cum[1] - cum[0], 0.0) * passes * 1e3
+                    t_r = max(cum[2] - cum[1], 0.0) * passes * 1e3
+
                 stl_ms = rdx_ms = 0.0
                 data = np.asarray(keys)
                 if args.cpu_baselines:
@@ -172,6 +257,7 @@ def main():
                     roof = (min_bytes / secs) / (hbm * 1e9)
                 row = csvio.PerfRow(
                     num_elements=n, datatype=dname, dataset=ds_name,
+                    avg_histogram=t_h, avg_scan=t_s, avg_reorder=t_r,
                     avg_total_gpu=ms, avg_total_stl_cpu=stl_ms,
                     avg_total_rdx_cpu=rdx_ms, mkeys_per_sec=mkeys,
                     roofline_frac=roof,

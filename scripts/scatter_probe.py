@@ -73,8 +73,11 @@ def report(name, fn):
         msg = fn()
         print(f"{name}: {msg}", flush=True)
     except Exception as e:  # noqa: BLE001
-        m = str(e).replace("\n", " ")[:800]
-        print(f"{name}: FAIL {type(e).__name__}: {m}", flush=True)
+        with open(f"/tmp/probe_err_{name}.log", "w") as f:
+            f.write(str(e))
+        m = str(e).replace("\n", " ")[:300]
+        print(f"{name}: FAIL {type(e).__name__}: {m} "
+              f"[full: /tmp/probe_err_{name}.log]", flush=True)
 
 
 # ------------------------------------------------------- cap: 1-D ragged DMA
