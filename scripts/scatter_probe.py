@@ -255,7 +255,8 @@ def dma_rate():
         if not np.array_equal(got, np.asarray(x[:256])):
             lines.append(f"S={S}: WRONG-RESULT")
             continue
-        secs = timed_chain(fn, x, reps=4)
+        # many reps: tunnel noise is ~ms, one 16 MiB copy is ~50 us.
+        secs = timed_chain(fn, x, reps=64)
         gbs = 2 * NROWS * LANES * 4 / secs / 1e9
         us_per_dma = secs / K * 1e6
         lines.append(f"S={S}({S * 512}B): {gbs:7.1f} GB/s "
@@ -318,9 +319,11 @@ def mxu_perm():
     rows = 128
 
     def k(idx_ref, x_ref, o_ref):
+        t = pl.program_id(0)
         iota = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
         # P[i, j] = (idx[i] == j) — one-hot permutation matrix
-        P = (idx_ref[...].reshape(rows, 1) == iota).astype(jnp.float32)
+        row = idx_ref[pl.ds(t, 1), :]                    # (1, rows)
+        P = (row.reshape(rows, 1) == iota).astype(jnp.float32)
         x = x_ref[...]
         lo = (x & 0xFFFF).astype(jnp.float32)
         hi = ((x >> 16) & 0xFFFF).astype(jnp.float32)
@@ -413,9 +416,102 @@ def cap_1d_hbm_static():
     return "PASS" if np.array_equal(got, exp) else "WRONG-RESULT"
 
 
+def cap_1d_hint():
+    """1-D HBM→HBM DMA with dynamic offsets declared multiple_of(1024) —
+    Mosaic demands provable divisibility by the 1-D tiling (1024)."""
+    n = 1 << 16
+    L = 4096
+
+    def k(off_ref, in_hbm, out_hbm, sem):
+        src = pl.multiple_of(off_ref[0] * 1024, 1024)
+        dst = pl.multiple_of(off_ref[1] * 1024, 1024)
+        cp = pltpu.make_async_copy(
+            in_hbm.at[pl.ds(src, L)], out_hbm.at[pl.ds(dst, L)], sem)
+        cp.start()
+        cp.wait()
+
+    x = jnp.arange(n, dtype=jnp.int32)
+    off = jnp.asarray(np.array([2, 1], np.int32))
+    out = pl.pallas_call(
+        k,
+        out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(off, x)
+    got = np.asarray(out)[1024:1024 + L]
+    exp = np.arange(2048, 2048 + L, dtype=np.int32)
+    return "PASS" if np.array_equal(got, exp) else "WRONG-RESULT"
+
+
+def cap_2d_row_offset():
+    """2-D (rows,128) HBM→HBM DMA at dynamic row offsets NOT divisible by 8
+    — decides whether HBM raggedness granularity is 128 elems (row) or 1024
+    (sublane tile)."""
+    rows = 512
+
+    def k(off_ref, in_hbm, out_hbm, sem):
+        src = off_ref[0]
+        dst = off_ref[1]
+        cp = pltpu.make_async_copy(
+            in_hbm.at[pl.ds(src, 16), :], out_hbm.at[pl.ds(dst, 16), :],
+            sem)
+        cp.start()
+        cp.wait()
+
+    x = jnp.arange(rows * LANES, dtype=jnp.int32).reshape(rows, LANES)
+    off = jnp.asarray(np.array([3, 11], np.int32))
+    out = pl.pallas_call(
+        k,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(off, x)
+    got = np.asarray(out)[11:27]
+    exp = np.asarray(x)[3:19]
+    return "PASS" if np.array_equal(got, exp) else "WRONG-RESULT"
+
+
+def cap_vmem_rows_to_hbm2d():
+    """VMEM (S,128) rows at dynamic sublane offset → 2-D HBM at dynamic row
+    offset — the window writeback shape of the streaming scatter."""
+    rows = 512
+
+    def k(off_ref, x_ref, out_hbm, sem):
+        s = off_ref[0]
+        d = off_ref[1]
+        cp = pltpu.make_async_copy(
+            x_ref.at[pl.ds(s, 16), :], out_hbm.at[pl.ds(d, 16), :], sem)
+        cp.start()
+        cp.wait()
+
+    x = jnp.arange(64 * LANES, dtype=jnp.int32).reshape(64, LANES)
+    off = jnp.asarray(np.array([5, 21], np.int32))
+    out = pl.pallas_call(
+        k,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(off, x)
+    got = np.asarray(out)[21:37]
+    exp = np.asarray(x)[5:21]
+    return "PASS" if np.array_equal(got, exp) else "WRONG-RESULT"
+
+
 PROBES = {
     "cap-1dma-static": cap_1d_hbm_static,
     "cap-1dma-aligned": cap_1d_hbm_aligned,
+    "cap-1dma-hint": cap_1d_hint,
+    "cap-2drow": cap_2d_row_offset,
+    "cap-vmemrow": cap_vmem_rows_to_hbm2d,
     "cap-1dma-hh": cap_1d_hbm_to_hbm,
     "cap-1dma-vh": cap_1d_vmem_to_hbm,
     "cap-1dma-vsh": cap_1d_vmem_slice_to_hbm,

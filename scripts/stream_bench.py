@@ -1,0 +1,106 @@
+"""Validate + benchmark the streaming radix engine (ops/pallas_stream.py)
+on the real chip.
+
+  python scripts/stream_bench.py --logn 22 --radix 16 --rows 128
+
+Validates bit-exactness on a 2^18 prefix (host) + full on-device checks
+(sortedness, multiset sum/xor), then reports tunnel-safe chained timing.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logn", type=int, default=22)
+    ap.add_argument("--radix", type=int, default=16)
+    ap.add_argument("--rows", type=int, default=128)
+    ap.add_argument("--dist", default="uniform",
+                    choices=["uniform", "zeros", "skewed", "range"])
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--validate-logn", type=int, default=20)
+    args = ap.parse_args()
+
+    from radix_sort_tpu.ops import pallas_stream as ps
+
+    n = 1 << args.logn
+    print(f"device={jax.devices()[0].device_kind} n=2^{args.logn} "
+          f"R={args.radix} rows={args.rows} dist={args.dist}", flush=True)
+
+    def gen(n, seed=0):
+        if args.dist == "zeros":
+            return jnp.zeros((n,), jnp.uint32)
+        if args.dist == "range":
+            return jnp.arange(n, dtype=jnp.uint32)[::-1]
+        bits = jax.random.bits(jax.random.key(seed), (n,),
+                               dtype=jnp.uint32)
+        if args.dist == "skewed":
+            sel = jax.random.uniform(jax.random.key(seed + 1), (n,)) < 0.9
+            return jnp.where(sel, jnp.uint32(7), bits)
+        return bits
+
+    sort_fn = jax.jit(lambda k: ps.sort_u32_keys(
+        k, radix=args.radix, rows=args.rows))
+
+    # ---- validate at a smaller size first
+    nv = 1 << args.validate_logn
+    kv = gen(nv, seed=2)
+    t0 = time.time()
+    out = sort_fn(kv)
+    outh = np.asarray(out)
+    print(f"first run+fetch: {time.time() - t0:.1f}s", flush=True)
+    kvh = np.asarray(kv)
+    exp = np.sort(kvh)
+    m = min(nv, 1 << 18)
+    ok_prefix = np.array_equal(outh[:m], exp[:m])
+    ok_full = np.array_equal(outh, exp)
+    print(f"validate 2^{args.validate_logn}: prefix={ok_prefix} "
+          f"full={ok_full}", flush=True)
+    if not ok_full:
+        bad = np.nonzero(outh != exp)[0]
+        print(f"  nbad={len(bad)} first={bad[:5]} "
+              f"got={outh[bad[:3]].tolist()} exp={exp[bad[:3]].tolist()}")
+        return
+
+    # ---- timing at the target size (device-generated data)
+    keys = gen(n)
+    keys.block_until_ready()
+
+    check_fn = jax.jit(lambda o, k: jnp.all(o[1:] >= o[:-1])
+                       & (jnp.sum(o, dtype=jnp.uint64)
+                          == jnp.sum(k, dtype=jnp.uint64))
+                       & (jnp.bitwise_xor.reduce(o)
+                          == jnp.bitwise_xor.reduce(k)))
+    chained = jax.jit(lambda a, r: jax.lax.fori_loop(
+        0, r, lambda _, v: sort_fn(v), a))
+
+    def sync(o):
+        np.asarray(o[:1])
+
+    sync(chained(keys, jnp.int32(1)))
+    sync(chained(keys, jnp.int32(args.reps)))
+    t1 = tr = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); sync(chained(keys, jnp.int32(1)))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        sync(chained(keys, jnp.int32(args.reps)))
+        tr = min(tr, time.perf_counter() - t0)
+    secs = max((tr - t1) / (args.reps - 1), 1e-9)
+    ok = bool(check_fn(sort_fn(keys), keys))
+    print(f"n=2^{args.logn}: {secs * 1e3:.2f} ms  "
+          f"{n / secs / 1e6:.1f} Mkeys/s  valid={ok}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

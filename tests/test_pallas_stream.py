@@ -1,0 +1,86 @@
+"""Unit tests for the streaming radix-scatter engine's building blocks
+(ops/pallas_stream.py), validated against numpy oracles in interpret mode
+on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radix_sort_tpu.ops import pallas_stream as ps
+
+
+def _np_row_partition(d):
+    """Numpy oracle: per-row stable partition order (indices)."""
+    rows, lanes = d.shape
+    idx = np.empty_like(d)
+    for r in range(rows):
+        idx[r] = np.argsort(d[r], kind="stable")
+    return idx
+
+
+@pytest.mark.parametrize("radix", [4, 16])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_row_partition_matches_stable_argsort(radix, seed):
+    rng = np.random.default_rng(seed)
+    d = rng.integers(0, radix, (16, 128)).astype(np.int32)
+    idx, counts, rowstart = jax.jit(
+        lambda x: ps.row_partition(x, radix))(jnp.asarray(d))
+    np.testing.assert_array_equal(np.asarray(idx), _np_row_partition(d))
+    # counts/rowstart consistency
+    exp_counts = np.stack([np.sum(d == b, axis=1) for b in range(radix)],
+                          axis=1)
+    np.testing.assert_array_equal(np.asarray(counts), exp_counts)
+    exp_start = np.cumsum(exp_counts, axis=1) - exp_counts
+    np.testing.assert_array_equal(np.asarray(rowstart), exp_start)
+
+
+def test_row_partition_degenerate_single_digit():
+    d = np.zeros((8, 128), np.int32)
+    idx, counts, _ = jax.jit(
+        lambda x: ps.row_partition(x, 4))(jnp.asarray(d))
+    np.testing.assert_array_equal(np.asarray(idx),
+                                  np.tile(np.arange(128), (8, 1)))
+    assert counts[0, 0] == 128
+
+
+@pytest.mark.parametrize("radix", [4, 16])
+def test_tile_dispatch_places_all_elements(radix):
+    """Dispatch a partitioned tile into bucket-major staging and check the
+    result equals the stable bucket-major order with the given fills."""
+    rng = np.random.default_rng(2)
+    rows = 16
+    d = rng.integers(0, radix, (rows, 128)).astype(np.int32)
+    vals = rng.integers(0, 2**31, (rows, 128)).astype(np.int32)
+
+    totals = np.stack([np.sum(d == b) for b in range(radix)])
+    fills = np.zeros(radix, np.int64)
+    acc = 0
+    for b in range(radix):
+        fills[b] = acc
+        acc += int(totals[b]) + int(rng.integers(0, 64))  # gaps between
+    stage_rows = int(-(-acc // 128)) + 2
+
+    def fn(dj, vj, fj):
+        idx, counts, rowstart = ps.row_partition(dj, radix)
+        parted = jnp.take_along_axis(vj, idx, axis=1)
+        d_parted = jnp.take_along_axis(dj, idx, axis=1)
+        return ps.tile_dispatch(parted, d_parted, counts, rowstart, fj,
+                                radix, stage_rows)
+
+    stage, mask = jax.jit(fn)(jnp.asarray(d), jnp.asarray(vals),
+                              jnp.asarray(fills.astype(np.int32)))
+    stage = np.asarray(stage).reshape(-1)
+    mask = np.asarray(mask).reshape(-1)
+
+    # oracle: bucket-major stable order
+    exp = np.zeros_like(stage)
+    expm = np.zeros_like(mask)
+    flat_d = d.reshape(-1)
+    flat_v = vals.reshape(-1)
+    for b in range(radix):
+        sel = flat_v[flat_d == b]
+        exp[fills[b]:fills[b] + sel.size] = sel
+        expm[fills[b]:fills[b] + sel.size] = 1
+    np.testing.assert_array_equal(mask, expm)
+    np.testing.assert_array_equal(stage * mask, exp * expm)
