@@ -106,14 +106,18 @@ def _row_rank_eq(d):
 def _row_counts(d, radix):
     """Per-(row, digit) counts: (rows, 128) int32 → (rows, R) int32.
 
-    One-hot lane reduction; R comparisons per element (python loop is over
-    the STATIC radix, giving 2-D shapes Mosaic accepts).
+    Chunked one-hot 3-D reduction (row-chunks keep the (CH, 128, R)
+    intermediate small; narrow per-digit concats are a Mosaic trap).
     """
+    rows = d.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, radix), 2)
+    CH = min(8, rows)
     outs = []
-    for dd in range(radix):
-        outs.append(jnp.sum((d == dd).astype(jnp.int32), axis=1,
-                            keepdims=True))
-    return jnp.concatenate(outs, axis=1)
+    for r0 in range(0, rows, CH):
+        chunk = jnp.reshape(d[r0:r0 + CH, :], (CH, LANES, 1))
+        oh = (chunk == iota).astype(jnp.int32)            # (CH, 128, R)
+        outs.append(jnp.sum(oh, axis=1))                  # (CH, R)
+    return jnp.concatenate(outs, axis=0)
 
 
 def _row_partition_indices(d, rank, counts, radix):
@@ -132,12 +136,15 @@ def _row_partition_indices(d, rank, counts, radix):
         sel = sel + jnp.where(d == dd, rowstart[:, dd:dd + 1], 0)
     dst = sel + rank                                      # (rows, 128)
     kk = jax.lax.broadcasted_iota(jnp.int32, (1, LANES, 1), 1)
-    lane = jax.lax.broadcasted_iota(jnp.float32, (1, 1, LANES), 2)
+    # int32 iota: tpu.iota rejects float result types
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
     CH = min(8, rows)
     outs = []
     for r0 in range(0, rows, CH):                         # VMEM chunking
-        oh = (dst[r0:r0 + CH, None, :] == kk).astype(jnp.float32)
-        outs.append(jnp.sum(oh * lane, axis=2).astype(jnp.int32))
+        # explicit reshape (slice+None indexing lowers to a Mosaic gather)
+        chunk = jnp.reshape(dst[r0:r0 + CH, :], (CH, 1, LANES))
+        oh = (chunk == kk).astype(jnp.int32)
+        outs.append(jnp.sum(oh * lane, axis=2))
     return jnp.concatenate(outs, axis=0)                  # (rows, 128)
 
 
@@ -171,32 +178,36 @@ def _bucket_slot(parted, counts, col_prefix, rowstart, b, fill,
     rows = parted.shape[0]
     li = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
 
-    F = fill + col_prefix[:, b]                        # (rows,)
-    c = counts[:, b]
-    start = rowstart[:, b]
+    # all per-row quantities kept (rows, 1) 2-D — 1-D vectors and
+    # transposes are Mosaic relayout traps.
+    F = fill + col_prefix[:, b:b + 1]                  # (rows, 1)
+    c = counts[:, b:b + 1]
+    start = rowstart[:, b:b + 1]
     phase = jnp.remainder(F, LANES)
-    src = jnp.remainder(li - phase[:, None], LANES) + start[:, None]
+    src = jnp.remainder(li - phase, LANES) + start
     src = jnp.clip(src, 0, LANES - 1)
     rot = jnp.take_along_axis(parted, src, axis=1)
-    k = jnp.remainder(li - phase[:, None], LANES)
-    valid = k < c[:, None]
-    wrapped = jnp.logical_and(li < phase[:, None], valid)
+    k = jnp.remainder(li - phase, LANES)
+    valid = k < c
+    wrapped = jnp.logical_and(li < phase, valid)
     low = jnp.where(jnp.logical_and(valid, jnp.logical_not(wrapped)),
                     rot, 0)
     high = jnp.where(wrapped, rot, 0)
 
-    srow = F // LANES
-    sidx = jax.lax.broadcasted_iota(jnp.int32, (slot_rows, rows), 0)
-    a_lo = (srow[None, :] == sidx).astype(jnp.float32)
-    a_hi = (srow[None, :] + 1 == sidx).astype(jnp.float32)
+    # transposed one-hots aT[r, s] = [srow_r == s]; the dot_general
+    # contracts over rows directly, avoiding an explicit transpose.
+    srow = F // LANES                                  # (rows, 1)
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (rows, slot_rows), 1)
+    aT_lo = (srow == sidx).astype(jnp.float32)         # (rows, S)
+    aT_hi = (srow + 1 == sidx).astype(jnp.float32)
 
     out = jnp.zeros((slot_rows, LANES), jnp.int32)
-    for a, part in ((a_lo, low), (a_hi, high)):
+    for aT, part in ((aT_lo, low), (aT_hi, high)):
         lo16 = (part & 0xFFFF).astype(jnp.float32)
         hi16 = ((part >> 16) & 0xFFFF).astype(jnp.float32)
-        glo = jax.lax.dot_general(a, lo16, (((1,), (0,)), ((), ())),
+        glo = jax.lax.dot_general(aT, lo16, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        ghi = jax.lax.dot_general(a, hi16, (((1,), (0,)), ((), ())),
+        ghi = jax.lax.dot_general(aT, hi16, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         out = out | (ghi.astype(jnp.int32) << 16) | glo.astype(jnp.int32)
     return out
@@ -276,9 +287,9 @@ def tile_dispatch(parted, d_parted, counts, rowstart, fills, radix,
 
 # ---------------------------------------------------------- the pass kernel
 
-def _pass_kernel(base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
+def _pass_kernel(sh_ref, base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
                  tails_out_ref, tails_s, stage, sems, *, radix, rows,
-                 shift, nbits):
+                 nbits):
     """One radix pass, one tile per sequential grid step.
 
     Scalar prefetch: base_ref (B, R) global element offsets per (tile,
@@ -301,8 +312,11 @@ def _pass_kernel(base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
         heads_ref[...] = jnp.zeros(heads_ref.shape, heads_ref.dtype)
 
     keys = keys_ref[...]
+    # dynamic pass shift (scalar prefetch): ONE kernel compile serves all
+    # passes — remote compiles cost minutes each (CLAUDE.md).
     digits = jax.lax.shift_right_logical(
-        keys, jnp.int32(shift)) & jnp.int32(radix - 1)
+        keys, jnp.broadcast_to(sh_ref[0], keys.shape)) & jnp.int32(
+            radix - 1)
 
     rank = _row_rank_eq(digits)
     counts = _row_counts(digits, radix)
@@ -323,7 +337,11 @@ def _pass_kernel(base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
         carry = jnp.where(li1 < cl, tails_s[b:b + 1, :], 0)
         slotbuf = _bucket_slot(parted, counts, col_prefix, rowstart, b,
                                cl, slot_rows)
-        slotbuf = slotbuf.at[0:1, :].set(slotbuf[0:1, :] | carry)
+        # OR the carry into slot row 0 via a sublane mask (.at[].set
+        # lowers to an unimplemented scatter primitive in Mosaic)
+        row0 = jax.lax.broadcasted_iota(
+            jnp.int32, (slot_rows, LANES), 0) == 0
+        slotbuf = jnp.where(row0, slotbuf | carry, slotbuf)
         stage[slot0:slot0 + slot_rows, :] = slotbuf
 
         gstart = e // LANES
@@ -366,6 +384,8 @@ def _pass_kernel(base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
 
 
 def _radix_pass(keys_i32, base_tbl, cnt_tbl, radix, rows, shift):
+    """One streaming radix pass; ``shift`` may be a traced int32 scalar —
+    the kernel is shift-dynamic so all passes share one compile."""
     """Run one streaming radix pass.  keys_i32: (N,) int32 (N a multiple of
     rows*128).  Returns (out, heads, tails) with the boundary rows NOT yet
     fixed up (apply _boundary_fixup)."""
@@ -375,7 +395,7 @@ def _radix_pass(keys_i32, base_tbl, cnt_tbl, radix, rows, shift):
     NBITS = max(1, int(np.ceil(np.log2(slot_rows + 1))))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[pl.BlockSpec((rows, LANES), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM)],
@@ -392,21 +412,26 @@ def _radix_pass(keys_i32, base_tbl, cnt_tbl, radix, rows, shift):
             pltpu.SemaphoreType.DMA,
         ],
     )
+    sh = jnp.reshape(jnp.asarray(shift, jnp.int32), (1,))
     out, heads, tails = pl.pallas_call(
         functools.partial(_pass_kernel, radix=radix, rows=rows,
-                          shift=shift, nbits=NBITS),
+                          nbits=NBITS),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n // LANES, LANES), jnp.int32),
             jax.ShapeDtypeStruct((radix, LANES), jnp.int32),
             jax.ShapeDtypeStruct((radix, LANES), jnp.int32),
         ),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # unrolled per-bucket temporaries exceed the default 16 MiB
+            # scoped-vmem budget; v5e allows raising it
+            vmem_limit_bytes=100 * 1024 * 1024),
         # the generic interpreter mishandles multiple DMAs to an ANY
         # output (only the last lands); the TPU-model interpreter is
         # faithful to semaphore/DMA semantics.
         interpret=(pltpu.InterpretParams() if _interpret() else False),
-    )(base_tbl, cnt_tbl, keys_i32.reshape(n // LANES, LANES))
+    )(sh, base_tbl, cnt_tbl, keys_i32.reshape(n // LANES, LANES))
     return out, heads, tails
 
 

@@ -119,9 +119,13 @@ def _assign_destinations(chunk_u: jnp.ndarray, splitters: jnp.ndarray,
     ).astype(jnp.int32)                                          # (S+1,)
     group_counts = jnp.diff(jnp.append(starts_tbl, jnp.int32(n)))
     local_counts = group_counts[:S]
-    counts_mat = jax.lax.all_gather(local_counts, axis)          # (D, S)
+    counts_mat = jax.lax.all_gather(local_counts, axis)      # (mesh, S)
+    # NB mesh size, not interval count: num_devices here may be D*G
+    # logical intervals (overlapped shuffle) on a smaller physical mesh.
+    P_mesh = counts_mat.shape[0]
     prev_vec = jnp.sum(
-        jnp.where(jnp.arange(D)[:, None] < my, counts_mat, 0), axis=0)
+        jnp.where(jnp.arange(P_mesh)[:, None] < my, counts_mat, 0),
+        axis=0)
     total_vec = jnp.maximum(jnp.sum(counts_mat, axis=0), 1)
 
     # Per-splitter tied chip range [lo_s, hi_s] (duplicated splitters give
@@ -178,26 +182,68 @@ def _local_sorted_valid_first(ku, payloads, valid, config):
 
 
 def _dist_sort_shard(chunk_u, payloads, *, D, axis, capacity, samples,
-                     config, dense_capacity):
+                     config, dense_capacity, overlap_chunks=1):
     sent = dtypes._np_scalar(np.dtype(chunk_u.dtype),
                              dtypes.sentinel_max_unsigned(chunk_u.dtype))
     n = chunk_u.shape[0]
+    G = overlap_chunks
 
-    # 1-2: splitters and destinations.
+    # 1-2: splitters and destinations.  With G > 1 the key space is cut
+    # into D*G intervals: interval s maps to chip s // G, sub-chunk s % G.
     smp = _strided_samples(chunk_u, samples)
     all_smp = jax.lax.all_gather(smp, axis, tiled=True)
-    splitters = _choose_splitters(all_smp, D)
-    dest = _assign_destinations(chunk_u, splitters, D, axis)
+    splitters = _choose_splitters(all_smp, D * G)
+    sidx = _assign_destinations(chunk_u, splitters, D * G, axis)
+    dest = sidx // G
 
-    # 3: shuffle.
     fills = (sent,) + tuple(jnp.zeros((), p.dtype) for p in payloads)
-    (recv, recv_counts, overflow) = exchange.ragged_all_to_all(
-        (chunk_u,) + tuple(payloads), dest, D, capacity, axis, fills)
-    valid = exchange.slot_valid_mask(D, capacity, recv_counts)
 
-    # 4: local stable sort, valid rows first.
-    ks, ps = _local_sorted_valid_first(recv[0], recv[1:], valid, config)
-    v_count = jnp.sum(recv_counts)
+    if G == 1:
+        # 3: shuffle.
+        (recv, recv_counts, overflow) = exchange.ragged_all_to_all(
+            (chunk_u,) + tuple(payloads), dest, D, capacity, axis, fills)
+        valid = exchange.slot_valid_mask(D, capacity, recv_counts)
+
+        # 4: local stable sort, valid rows first.
+        ks, ps = _local_sorted_valid_first(recv[0], recv[1:], valid,
+                                           config)
+        v_count = jnp.sum(recv_counts)
+    else:
+        # 3-4 overlapped (the north-star comm/compute overlap): exchange
+        # one value-range sub-chunk while the previous sub-chunk's rows
+        # sort locally.  Sub-chunk g's all_to_all has no data dependency
+        # on sub-chunk g-1's sort, so XLA's async-collective scheduler
+        # overlaps them.  Sub-chunks are ascending value ranges, so the
+        # per-chunk sorted results CONCATENATE into the chip's sorted
+        # run — no final merge.
+        sub = sidx % G
+        parts = []
+        part_counts = []
+        overflow = jnp.zeros((), bool)
+        for g in range(G):
+            (recv, rcounts, ovf) = exchange.ragged_all_to_all(
+                (chunk_u,) + tuple(payloads), dest, D, capacity, axis,
+                fills, drop_mask=sub != g)
+            validg = exchange.slot_valid_mask(D, capacity, rcounts)
+            ksg, psg = _local_sorted_valid_first(recv[0], recv[1:],
+                                                 validg, config)
+            parts.append((ksg,) + tuple(psg))
+            part_counts.append(jnp.sum(rcounts))
+            overflow = jnp.logical_or(overflow, ovf)
+        # stitch: valid prefixes of each sorted sub-chunk, in g order.
+        m = parts[0][0].shape[0]
+        validmask = jnp.concatenate(
+            [jnp.arange(m, dtype=jnp.int32) < c for c in part_counts])
+        cat = tuple(jnp.concatenate([p[i] for p in parts])
+                    for i in range(1 + len(payloads)))
+        out, _ = part_ops.compact_mask(validmask, cat)
+        # Clamp to the global row count: the rebalance's modulo-wrapped
+        # destination windows are overflow-free only while the local
+        # buffer is ≤ D*per_dev rows — and a chip can never hold more
+        # than the global N valid rows, so the slice loses nothing.
+        L = min(out[0].shape[0], D * dense_capacity)
+        ks, ps = out[0][:L], tuple(a[:L] for a in out[1:])
+        v_count = sum(part_counts[1:], part_counts[0])
 
     # 5: rebalance to a dense shard of exactly n rows per chip.
     counts_all = jax.lax.all_gather(v_count, axis)                  # (D,)
@@ -227,11 +273,16 @@ def _dist_sort_shard(chunk_u, payloads, *, D, axis, capacity, samples,
 def dist_sort_kv(keys: jnp.ndarray, values: Any = None,
                  mesh: Mesh | None = None, axis: str = mesh_lib.DATA_AXIS,
                  capacity_factor: float = 2.5, samples_per_device: int = 64,
-                 config: SortConfig = DEFAULT_CONFIG):
+                 config: SortConfig = DEFAULT_CONFIG,
+                 overlap_chunks: int = 1):
     """Globally sort sharded ``keys`` (and permute ``values`` alongside)
     over the mesh.  Returns (keys, values, overflow) with the same global
     shape/sharding; ``overflow`` True means a shuffle slot overflowed
     (retry with a larger ``capacity_factor``).
+
+    ``overlap_chunks`` > 1 splits the shuffle into that many value-range
+    sub-chunks whose all_to_all exchanges overlap the previous sub-chunk's
+    local sort (comm/compute overlap; results concatenate, no merge).
 
     Arbitrary n is padded to D ⋅ ceil(n/D) with the max sentinel (reference
     padding discipline, src/RadixSortGPU.cpp:269-297) and sliced back.
@@ -251,27 +302,29 @@ def dist_sort_kv(keys: jnp.ndarray, values: Any = None,
     leaves = tuple(sort_ops._pad_1d(l, padded_n, 0) for l in leaves)
 
     per_dev = padded_n // D
-    samples = min(samples_per_device, per_dev)
+    G = max(1, overlap_chunks)
+    samples = min(samples_per_device * G, per_dev)
 
     # Fixed-capacity shuffle with host-level escalation: start with the
     # expected-load capacity; if any (src, dst) slot overflowed (heavy skew,
     # e.g. all-equal keys where stability forces contiguous-rank placement),
     # retry larger.  The final attempt (capacity = per_dev) can never
-    # overflow — a source only has per_dev rows.
+    # overflow — a source only has per_dev rows (regardless of sub-chunk).
     base_cap = max(1, min(per_dev,
-                          int(np.ceil(capacity_factor * per_dev / D))))
+                          int(np.ceil(capacity_factor * per_dev / (D * G)))))
     attempts = sorted({base_cap, min(per_dev, base_cap * 4), per_dev})
 
     spec = P(axis)
     num_leaves = len(leaves)
     for capacity in attempts:
         cache_key = (id(mesh), axis, D, capacity, samples, config,
-                     per_dev, num_leaves)
+                     per_dev, num_leaves, G)
         jitted = _SHARD_FN_CACHE.get(cache_key)
         if jitted is None:
             fn = functools.partial(
                 _dist_sort_shard, D=D, axis=axis, capacity=capacity,
-                samples=samples, config=config, dense_capacity=per_dev)
+                samples=samples, config=config, dense_capacity=per_dev,
+                overlap_chunks=G)
             shard_fn = jax.shard_map(
                 lambda k, pl: fn(k, pl),
                 mesh=mesh,

@@ -26,7 +26,8 @@ from ..ops import partition
 
 
 def ragged_all_to_all(arrays, dest: jnp.ndarray, num_devices: int,
-                      capacity: int, axis: str, fills):
+                      capacity: int, axis: str, fills,
+                      drop_mask: jnp.ndarray | None = None):
     """Exchange rows of ``arrays`` (tuple of (n,) locals) to devices given by
     ``dest`` (int32 in [0, D)).
 
@@ -40,7 +41,16 @@ def ragged_all_to_all(arrays, dest: jnp.ndarray, num_devices: int,
       overflow: bool scalar (globally reduced) — some pair exceeded capacity.
     """
     D, C = num_devices, capacity
-    out, counts, starts = partition.stable_partition(dest, arrays, D)
+    # Rows with drop_mask=True are routed to a virtual bucket past the
+    # last device and never packed — the overlapped shuffle
+    # (dist_sort.py) exchanges one value-range sub-chunk at a time.
+    nb = D
+    if drop_mask is not None:
+        dest = jnp.where(drop_mask, jnp.int32(D), dest)
+        nb = D + 1
+    out, counts, starts = partition.stable_partition(dest, arrays, nb)
+    counts = counts[:D]
+    starts = starts[:D]
     overflow_local = jnp.any(counts > C)
 
     # Pack: send[d, :] = partitioned[starts[d] : starts[d]+C], masked past

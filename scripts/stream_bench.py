@@ -52,29 +52,24 @@ def main():
     sort_fn = jax.jit(lambda k: ps.sort_u32_keys(
         k, radix=args.radix, rows=args.rows))
 
-    # ---- validate at a smaller size first
-    nv = 1 << args.validate_logn
-    kv = gen(nv, seed=2)
-    t0 = time.time()
-    out = sort_fn(kv)
-    outh = np.asarray(out)
-    print(f"first run+fetch: {time.time() - t0:.1f}s", flush=True)
-    kvh = np.asarray(kv)
-    exp = np.sort(kvh)
-    m = min(nv, 1 << 18)
-    ok_prefix = np.array_equal(outh[:m], exp[:m])
-    ok_full = np.array_equal(outh, exp)
-    print(f"validate 2^{args.validate_logn}: prefix={ok_prefix} "
-          f"full={ok_full}", flush=True)
-    if not ok_full:
-        bad = np.nonzero(outh != exp)[0]
-        print(f"  nbad={len(bad)} first={bad[:5]} "
-              f"got={outh[bad[:3]].tolist()} exp={exp[bad[:3]].tolist()}")
-        return
-
-    # ---- timing at the target size (device-generated data)
+    # ---- validate at the TARGET size (one compile total — each size is
+    # a separate multi-minute remote compile)
     keys = gen(n)
     keys.block_until_ready()
+    t0 = time.time()
+    out = sort_fn(keys)
+    outh = np.asarray(out)
+    print(f"first run+fetch: {time.time() - t0:.1f}s", flush=True)
+    exp = np.sort(np.asarray(keys))
+    ok_full = np.array_equal(outh, exp)
+    print(f"validate 2^{args.logn} {args.dist}: full={ok_full}",
+          flush=True)
+    if not ok_full:
+        bad = np.nonzero(outh != exp)[0]
+        print(f"  nbad={len(bad)} first={bad[:5]} rows="
+              f"{sorted(set((bad // 128).tolist()))[:10]} "
+              f"got={outh[bad[:3]].tolist()} exp={exp[bad[:3]].tolist()}")
+        return
 
     check_fn = jax.jit(lambda o, k: jnp.all(o[1:] >= o[:-1])
                        & (jnp.sum(o, dtype=jnp.uint64)

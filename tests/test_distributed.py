@@ -198,3 +198,33 @@ def test_runtime_health_check_timeout_path(mesh):
         jax.shard_map = orig
     assert not status["ok"]
     assert "timed out" in status["error"]
+
+
+@pytest.mark.parametrize("ds_name", ["Zeros", "RandomDistributed"])
+def test_dist_sort_overlapped_chunks(mesh, ds_name):
+    """The comm/compute-overlapped shuffle (value-range sub-chunks whose
+    exchanges interleave with local sorts) sorts identically to the
+    single-exchange path — including under maximal skew."""
+    for ds in datasets.make_datasets(np.uint32, seed=5):
+        if ds.name != ds_name:
+            continue
+        data = ds.generate(1 << 12)
+        got, _, overflow = dist_sort.dist_sort_kv(
+            jnp.asarray(data), None, mesh=mesh, overlap_chunks=4)
+        assert not overflow
+        assert golden.validate_bit_exact(np.asarray(got),
+                                         golden.oracle_sort(data),
+                                         data.size), ds.name
+
+
+def test_dist_sort_overlapped_kv_stable(mesh):
+    """Stability of the overlapped path: payload permutation must equal the
+    stable argsort."""
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 50, size=1 << 10).astype(np.uint32)  # many ties
+    vals = np.arange(data.size, dtype=np.int32)
+    ks, vs, overflow = dist_sort.dist_sort_kv(
+        jnp.asarray(data), jnp.asarray(vals), mesh=mesh, overlap_chunks=2)
+    assert not overflow
+    assert np.array_equal(np.asarray(ks), golden.oracle_sort(data))
+    assert np.array_equal(np.asarray(vs), golden.oracle_argsort(data))
