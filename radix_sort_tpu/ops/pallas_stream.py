@@ -203,13 +203,19 @@ def _bucket_slot(parted, counts, col_prefix, rowstart, b, fill,
 
     out = jnp.zeros((slot_rows, LANES), jnp.int32)
     for aT, part in ((aT_lo, low), (aT_hi, high)):
-        lo16 = (part & 0xFFFF).astype(jnp.float32)
-        hi16 = ((part >> 16) & 0xFFFF).astype(jnp.float32)
-        glo = jax.lax.dot_general(aT, lo16, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        ghi = jax.lax.dot_general(aT, hi16, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        out = out | (ghi.astype(jnp.int32) << 16) | glo.astype(jnp.int32)
+        # BYTE planes: the MXU's default single-pass bf16 rounds 16-bit
+        # operands (v5e, caught by scripts/stream_debug_hw.py bucketslot),
+        # but 8-bit byte values (0..255) are bf16-exact and the one-hot
+        # products accumulate in f32 with a single nonzero term — exact
+        # at full MXU speed.
+        planes = []
+        for s in (0, 8, 16, 24):
+            byte = ((jax.lax.shift_right_logical(part, s)) & 0xFF
+                    ).astype(jnp.float32)
+            g = jax.lax.dot_general(aT, byte, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            planes.append(g.astype(jnp.int32) << s)
+        out = out | planes[0] | planes[1] | planes[2] | planes[3]
     return out
 
 
@@ -289,7 +295,7 @@ def tile_dispatch(parted, d_parted, counts, rowstart, fills, radix,
 
 def _pass_kernel(sh_ref, base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
                  tails_out_ref, tails_s, stage, sems, *, radix, rows,
-                 nbits):
+                 nbits, ablate=0):
     """One radix pass, one tile per sequential grid step.
 
     Scalar prefetch: base_ref (B, R) global element offsets per (tile,
@@ -335,8 +341,12 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
         slot0 = b * slot_rows
 
         carry = jnp.where(li1 < cl, tails_s[b:b + 1, :], 0)
-        slotbuf = _bucket_slot(parted, counts, col_prefix, rowstart, b,
-                               cl, slot_rows)
+        if ablate == 2:     # profiling: skip the dispatch matmuls
+            slotbuf = jnp.broadcast_to(parted[0:1, :] + b,
+                                       (slot_rows, LANES)).astype(jnp.int32)
+        else:
+            slotbuf = _bucket_slot(parted, counts, col_prefix, rowstart, b,
+                                   cl, slot_rows)
         # OR the carry into slot row 0 via a sublane mask (.at[].set
         # lowers to an unimplemented scatter primitive in Mosaic)
         row0 = jax.lax.broadcasted_iota(
@@ -366,12 +376,13 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
                   slot0=slot0):
                 off = jax.lax.shift_right_logical(
                     cnt_rows, j + 1) << (j + 1)
-                cp = pltpu.make_async_copy(
-                    stage.at[pl.ds(slot0 + skip + off, 1 << j), :],
-                    out_hbm.at[pl.ds(gstart + skip + off, 1 << j), :],
-                    sems)
-                cp.start()
-                cp.wait()
+                if ablate != 1:    # profiling: skip HBM writes
+                    cp = pltpu.make_async_copy(
+                        stage.at[pl.ds(slot0 + skip + off, 1 << j), :],
+                        out_hbm.at[pl.ds(gstart + skip + off, 1 << j), :],
+                        sems)
+                    cp.start()
+                    cp.wait()
 
         # new carry = the (k_rows)-th slot row (partial tail, may be junk
         # past (cl+c)%128 — masked on the next use).
@@ -383,7 +394,8 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
         tails_out_ref[...] = tails_s[...]
 
 
-def _radix_pass(keys_i32, base_tbl, cnt_tbl, radix, rows, shift):
+def _radix_pass(keys_i32, base_tbl, cnt_tbl, radix, rows, shift,
+                ablate=0):
     """One streaming radix pass; ``shift`` may be a traced int32 scalar —
     the kernel is shift-dynamic so all passes share one compile."""
     """Run one streaming radix pass.  keys_i32: (N,) int32 (N a multiple of
@@ -415,7 +427,7 @@ def _radix_pass(keys_i32, base_tbl, cnt_tbl, radix, rows, shift):
     sh = jnp.reshape(jnp.asarray(shift, jnp.int32), (1,))
     out, heads, tails = pl.pallas_call(
         functools.partial(_pass_kernel, radix=radix, rows=rows,
-                          nbits=NBITS),
+                          nbits=NBITS, ablate=ablate),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n // LANES, LANES), jnp.int32),
