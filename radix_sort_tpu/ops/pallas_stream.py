@@ -161,6 +161,17 @@ def row_partition(d, radix):
     return idx, counts, rowstart
 
 
+def _tiers(rows, slot_rows):
+    """Ascending static slot-height tiers for the dispatch matmul."""
+    ts = []
+    t = max(8, rows // 16 + 2)
+    while t < slot_rows:
+        ts.append(t)
+        t *= 4
+    ts.append(slot_rows)
+    return ts
+
+
 # ------------------------------------------------------------ tile staging
 
 def _bucket_slot(parted, counts, col_prefix, rowstart, b, fill,
@@ -201,21 +212,29 @@ def _bucket_slot(parted, counts, col_prefix, rowstart, b, fill,
     aT_lo = (srow == sidx).astype(jnp.float32)         # (rows, S)
     aT_hi = (srow + 1 == sidx).astype(jnp.float32)
 
-    out = jnp.zeros((slot_rows, LANES), jnp.int32)
-    for aT, part in ((aT_lo, low), (aT_hi, high)):
-        # BYTE planes: the MXU's default single-pass bf16 rounds 16-bit
-        # operands (v5e, caught by scripts/stream_debug_hw.py bucketslot),
-        # but 8-bit byte values (0..255) are bf16-exact and the one-hot
-        # products accumulate in f32 with a single nonzero term — exact
-        # at full MXU speed.
-        planes = []
-        for s in (0, 8, 16, 24):
-            byte = ((jax.lax.shift_right_logical(part, s)) & 0xFF
-                    ).astype(jnp.float32)
-            g = jax.lax.dot_general(aT, byte, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            planes.append(g.astype(jnp.int32) << s)
-        out = out | planes[0] | planes[1] | planes[2] | planes[3]
+    # ONE fused matmul: lo/hi parts stacked along the contracting dim,
+    # 8-bit byte planes stacked along lanes.  Byte values (0..255) are
+    # bf16-exact on the MXU (16-bit halves are NOT — default single-pass
+    # bf16 rounds them, verified on v5e by stream_debug_hw.py), and each
+    # output lane is a single-term f32 accumulation.  Fusing 8 small
+    # matmuls into one (S, 2*rows)@(2*rows, 512) also lifts the MXU out
+    # of pipeline-latency dominance (ablation: dispatch was 67% of pass
+    # time as 8 separate (S,128,128) matmuls).
+    aT_cat = jnp.concatenate([aT_lo, aT_hi], axis=0)   # (2*rows, S)
+
+    def bytes4(part):
+        return jnp.concatenate(
+            [((jax.lax.shift_right_logical(part, jnp.int32(s))) & 0xFF
+              ).astype(jnp.float32) for s in (0, 8, 16, 24)], axis=1)
+
+    rhs = jnp.concatenate([bytes4(low), bytes4(high)], axis=0)
+    g = jax.lax.dot_general(aT_cat, rhs, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    gi = g.astype(jnp.int32)                           # (S, 512)
+    out = (gi[:, 0:LANES]
+           | (gi[:, LANES:2 * LANES] << 8)
+           | (gi[:, 2 * LANES:3 * LANES] << 16)
+           | (gi[:, 3 * LANES:4 * LANES] << 24))
     return out
 
 
@@ -344,15 +363,30 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
         if ablate == 2:     # profiling: skip the dispatch matmuls
             slotbuf = jnp.broadcast_to(parted[0:1, :] + b,
                                        (slot_rows, LANES)).astype(jnp.int32)
+            row0 = jax.lax.broadcasted_iota(
+                jnp.int32, (slot_rows, LANES), 0) == 0
+            slotbuf = jnp.where(row0, slotbuf | carry, slotbuf)
+            stage[slot0:slot0 + slot_rows, :] = slotbuf
         else:
-            slotbuf = _bucket_slot(parted, counts, col_prefix, rowstart, b,
-                                   cl, slot_rows)
-        # OR the carry into slot row 0 via a sublane mask (.at[].set
-        # lowers to an unimplemented scatter primitive in Mosaic)
-        row0 = jax.lax.broadcasted_iota(
-            jnp.int32, (slot_rows, LANES), 0) == 0
-        slotbuf = jnp.where(row0, slotbuf | carry, slotbuf)
-        stage[slot0:slot0 + slot_rows, :] = slotbuf
+            # TIERED slot heights: the dispatch matmul's work scales with
+            # the slot height, but a bucket only needs (cl+c)//128 + 1
+            # rows.  For uniform data at R buckets that is ~rows/R + 1 —
+            # an order of magnitude below the adversarial worst case, so
+            # each bucket picks the smallest static tier that fits
+            # (ablation: one-tier dispatch was 67% of pass time).
+            needed = (cl + c) // LANES + 1
+            prev_cap = 0
+            for S_t in _tiers(rows, slot_rows):
+                @pl.when(jnp.logical_and(needed > prev_cap,
+                                         needed <= S_t))
+                def _(b=b, slot0=slot0, cl=cl, carry=carry, S_t=S_t):
+                    buf = _bucket_slot(parted, counts, col_prefix,
+                                       rowstart, b, cl, S_t)
+                    row0 = jax.lax.broadcasted_iota(
+                        jnp.int32, (S_t, LANES), 0) == 0
+                    buf = jnp.where(row0, buf | carry, buf)
+                    stage[slot0:slot0 + S_t, :] = buf
+                prev_cap = S_t
 
         gstart = e // LANES
         fw = base_ref[0, b] // LANES
@@ -375,7 +409,7 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
             def _(b=b, j=j, cnt_rows=cnt_rows, skip=skip, gstart=gstart,
                   slot0=slot0):
                 off = jax.lax.shift_right_logical(
-                    cnt_rows, j + 1) << (j + 1)
+                    cnt_rows, jnp.int32(j + 1)) << (j + 1)
                 if ablate != 1:    # profiling: skip HBM writes
                     cp = pltpu.make_async_copy(
                         stage.at[pl.ds(slot0 + skip + off, 1 << j), :],
@@ -484,11 +518,11 @@ def _boundary_fixup(out2d, heads, tails, dstart, totals, radix):
         w2 = jnp.where(jnp.remainder(dend[d], LANES) != 0, we, -1)
         for w in (w1, w2):
             row = assemble(jnp.maximum(w, 0))
-            cur = jax.lax.dynamic_slice(
-                out2d, (jnp.maximum(w, 0), 0), (1, LANES))
+            wc = jnp.maximum(w, 0).astype(jnp.int32)
+            zero = jnp.zeros((), jnp.int32)
+            cur = jax.lax.dynamic_slice(out2d, (wc, zero), (1, LANES))
             upd = jnp.where(w >= 0, row, cur)
-            out2d = jax.lax.dynamic_update_slice(
-                out2d, upd, (jnp.maximum(w, 0), 0))
+            out2d = jax.lax.dynamic_update_slice(out2d, upd, (wc, zero))
     return out2d
 
 
@@ -505,6 +539,9 @@ def sort_u32_keys(keys_u32: jnp.ndarray, radix: int = 16,
     from . import pallas_radix as pr
 
     n = keys_u32.shape[0]
+    # adapt the tile height to tiny inputs (avoids padding 2K keys to a
+    # 16K tile — and keeps interpret-mode tests tractable)
+    rows = max(8, min(rows, -(-n // LANES)))
     tile = rows * LANES
     padded = max(tile, -(-n // tile) * tile)
     x = keys_u32

@@ -17,6 +17,9 @@ Engines:
   - ``pallas_merge``: the streaming Pallas merge sort
     (ops/pallas_merge.py) — key-only, 32-bit key containers; other
     shapes fall back to xla_sort.
+  - ``pallas_stream``: the streaming radix-scatter engine
+    (ops/pallas_stream.py) — the scatter-free TPU-native reorder; v1
+    key-only 32-bit.
   - ``auto``:      current best for the active backend.
 
 All engines route keys through the order-preserving unsigned transform
@@ -112,6 +115,8 @@ def sort_biased_kv(keys_u, payloads, config: SortConfig = DEFAULT_CONFIG):
                                         keys_u.shape[0])
     if engine == "pallas_merge":
         return _pallas_merge_engine(keys_u, payloads, keys_u.shape[0])
+    if engine == "pallas_stream":
+        return _pallas_stream_engine(keys_u, payloads, keys_u.shape[0])
     raise EngineError(OperationStatus.INITIALIZATION_FAILED,
                       f"unknown engine {engine!r}")
 
@@ -119,6 +124,20 @@ def sort_biased_kv(keys_u, payloads, config: SortConfig = DEFAULT_CONFIG):
 @functools.partial(jax.jit, static_argnames=("config", "n"))
 def _sort_biased_jit(keys_u, payloads, config: SortConfig, n: int):
     return _radix_engine_biased(keys_u, payloads, config)
+
+
+def _pallas_stream_engine(keys_u, payloads, n):
+    """Streaming radix-scatter engine (ops/pallas_stream.py): the fully
+    TPU-native reorder (lane gathers + one-hot MXU row-combines +
+    carry-chained row DMAs).  Key-only 32-bit containers in v1; other
+    shapes fall back to xla_sort.  Bit-exact on v5e across all reference
+    distributions; see docs/DESIGN.md §2.2 for the measured performance
+    frontier analysis."""
+    if payloads or dtypes.key_bits(keys_u.dtype) != 32:
+        return _xla_sort_engine(keys_u, payloads, n)
+    from . import pallas_stream
+
+    return pallas_stream.sort_u32_keys(keys_u), ()
 
 
 def _pallas_merge_engine(keys_u, payloads, n):
@@ -169,6 +188,8 @@ def _sort_impl(keys: jnp.ndarray, payloads, config: SortConfig):
         ku, pls = pallas_radix.sort_biased(keys_u, tuple(payloads), config, n)
     elif engine == "pallas_merge":
         ku, pls = _pallas_merge_engine(keys_u, payloads, n)
+    elif engine == "pallas_stream":
+        ku, pls = _pallas_stream_engine(keys_u, payloads, n)
     else:
         raise EngineError(OperationStatus.INITIALIZATION_FAILED,
                           f"unknown engine {engine!r}")

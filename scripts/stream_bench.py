@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--radix", type=int, default=16)
     ap.add_argument("--rows", type=int, default=128)
     ap.add_argument("--dist", default="uniform",
-                    choices=["uniform", "zeros", "skewed", "range"])
+                    choices=["uniform", "zeros", "skewed", "range", "all"])
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--validate-logn", type=int, default=20)
     args = ap.parse_args()
@@ -37,14 +37,14 @@ def main():
     print(f"device={jax.devices()[0].device_kind} n=2^{args.logn} "
           f"R={args.radix} rows={args.rows} dist={args.dist}", flush=True)
 
-    def gen(n, seed=0):
-        if args.dist == "zeros":
+    def gen(n, dist, seed=0):
+        if dist == "zeros":
             return jnp.zeros((n,), jnp.uint32)
-        if args.dist == "range":
+        if dist == "range":
             return jnp.arange(n, dtype=jnp.uint32)[::-1]
         bits = jax.random.bits(jax.random.key(seed), (n,),
                                dtype=jnp.uint32)
-        if args.dist == "skewed":
+        if dist == "skewed":
             sel = jax.random.uniform(jax.random.key(seed + 1), (n,)) < 0.9
             return jnp.where(sel, jnp.uint32(7), bits)
         return bits
@@ -52,24 +52,30 @@ def main():
     sort_fn = jax.jit(lambda k: ps.sort_u32_keys(
         k, radix=args.radix, rows=args.rows))
 
-    # ---- validate at the TARGET size (one compile total — each size is
-    # a separate multi-minute remote compile)
-    keys = gen(n)
-    keys.block_until_ready()
-    t0 = time.time()
-    out = sort_fn(keys)
-    outh = np.asarray(out)
-    print(f"first run+fetch: {time.time() - t0:.1f}s", flush=True)
-    exp = np.sort(np.asarray(keys))
-    ok_full = np.array_equal(outh, exp)
-    print(f"validate 2^{args.logn} {args.dist}: full={ok_full}",
-          flush=True)
-    if not ok_full:
-        bad = np.nonzero(outh != exp)[0]
-        print(f"  nbad={len(bad)} first={bad[:5]} rows="
-              f"{sorted(set((bad // 128).tolist()))[:10]} "
-              f"got={outh[bad[:3]].tolist()} exp={exp[bad[:3]].tolist()}")
-        return
+    # ---- validate at the TARGET size (one compile total per process —
+    # each size is a separate multi-minute remote compile, so --dist all
+    # reuses it across distributions)
+    dists = (["uniform", "zeros", "skewed", "range"]
+             if args.dist == "all" else [args.dist])
+    keys = None
+    for dist in dists:
+        keys = gen(n, dist)
+        keys.block_until_ready()
+        t0 = time.time()
+        out = sort_fn(keys)
+        outh = np.asarray(out)
+        print(f"run+fetch: {time.time() - t0:.1f}s", flush=True)
+        exp = np.sort(np.asarray(keys))
+        ok_full = np.array_equal(outh, exp)
+        print(f"validate 2^{args.logn} {dist}: full={ok_full}",
+              flush=True)
+        if not ok_full:
+            bad = np.nonzero(outh != exp)[0]
+            print(f"  nbad={len(bad)} first={bad[:5]} rows="
+                  f"{sorted(set((bad // 128).tolist()))[:10]} "
+                  f"got={outh[bad[:3]].tolist()} "
+                  f"exp={exp[bad[:3]].tolist()}")
+            return
 
     check_fn = jax.jit(lambda o, k: jnp.all(o[1:] >= o[:-1])
                        & (jnp.sum(o, dtype=jnp.uint64)

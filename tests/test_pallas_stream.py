@@ -84,3 +84,29 @@ def test_tile_dispatch_places_all_elements(radix):
         expm[fills[b]:fills[b] + sel.size] = 1
     np.testing.assert_array_equal(mask, expm)
     np.testing.assert_array_equal(stage * mask, exp * expm)
+
+
+def test_sort_engine_dispatch_pallas_stream():
+    """The engine is reachable through the public sort API (interpret mode
+    on CPU; tiny size keeps the TPU-model interpreter fast)."""
+    from radix_sort_tpu.ops import sort as sort_ops
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 2**32, 2048, dtype=np.uint32)
+    out = sort_ops.sort(jnp.asarray(keys), engine="pallas_stream")
+    np.testing.assert_array_equal(np.asarray(out), np.sort(keys))
+
+
+def test_sort_engine_pallas_stream_fallback_kv():
+    """Payload/64-bit shapes fall back to xla_sort (correctness contract
+    holds regardless of engine)."""
+    from radix_sort_tpu.ops import sort as sort_ops
+
+    rng = np.random.default_rng(12)
+    keys = rng.integers(0, 1000, 4096).astype(np.uint32)
+    vals = np.arange(4096, dtype=np.int32)
+    k, v = sort_ops.sort_kv(jnp.asarray(keys), jnp.asarray(vals),
+                            engine="pallas_stream")
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
