@@ -291,7 +291,7 @@ def _merge_sort_i32(keys_i32: jnp.ndarray, n: int) -> jnp.ndarray:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(num_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((TILE_ROWS, LANES), lambda t, *_: (t, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[

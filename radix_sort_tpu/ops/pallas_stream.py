@@ -174,19 +174,22 @@ def _tiers(rows, slot_rows):
 
 # ------------------------------------------------------------ tile staging
 
-def _bucket_slot(parted, counts, col_prefix, rowstart, b, fill,
-                 slot_rows):
-    """One bucket's staged contribution: (slot_rows, 128) with the bucket's
-    elements placed row-major starting at element offset ``fill`` (a traced
-    scalar), zeros elsewhere.
+def _bucket_slots(parteds, counts, col_prefix, rowstart, b, fill,
+                  slot_rows):
+    """Staged contributions of one bucket for every value plane.
 
-    parted: (rows, 128) per-row partitioned values; counts/col_prefix/
-    rowstart: (rows, R) per-row counts, cross-row exclusive prefix, within-
-    row starts.  The cross-row combine is a one-hot f32 matmul pair (rows →
-    slot rows); disjoint lane masks make each output lane a single-term sum
-    — exact for the 16-bit halves.
+    parteds: tuple of (rows, 128) per-row partitioned planes (keys first;
+    payload planes follow the identical permutation).  Returns one
+    (slot_rows, 128) buffer per plane, the bucket's elements placed
+    row-major from element offset ``fill`` (traced scalar), zeros
+    elsewhere.  ONE fused MXU matmul does the cross-row combine for all
+    planes: lo/wrap parts stacked along the contracting dim, 8-bit byte
+    planes stacked along lanes (bytes are bf16-exact; 16-bit halves are
+    NOT — the MXU default single-pass bf16 rounds them, verified on v5e
+    by scripts/stream_debug_hw.py).
     """
-    rows = parted.shape[0]
+    rows = parteds[0].shape[0]
+    NP = len(parteds)
     li = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
 
     # all per-row quantities kept (rows, 1) 2-D — 1-D vectors and
@@ -195,31 +198,17 @@ def _bucket_slot(parted, counts, col_prefix, rowstart, b, fill,
     c = counts[:, b:b + 1]
     start = rowstart[:, b:b + 1]
     phase = jnp.remainder(F, LANES)
-    src = jnp.remainder(li - phase, LANES) + start
-    src = jnp.clip(src, 0, LANES - 1)
-    rot = jnp.take_along_axis(parted, src, axis=1)
+    srcidx = jnp.remainder(li - phase, LANES) + start
+    srcidx = jnp.clip(srcidx, 0, LANES - 1)
     k = jnp.remainder(li - phase, LANES)
     valid = k < c
     wrapped = jnp.logical_and(li < phase, valid)
-    low = jnp.where(jnp.logical_and(valid, jnp.logical_not(wrapped)),
-                    rot, 0)
-    high = jnp.where(wrapped, rot, 0)
+    m_low = jnp.logical_and(valid, jnp.logical_not(wrapped))
 
-    # transposed one-hots aT[r, s] = [srow_r == s]; the dot_general
-    # contracts over rows directly, avoiding an explicit transpose.
     srow = F // LANES                                  # (rows, 1)
     sidx = jax.lax.broadcasted_iota(jnp.int32, (rows, slot_rows), 1)
     aT_lo = (srow == sidx).astype(jnp.float32)         # (rows, S)
     aT_hi = (srow + 1 == sidx).astype(jnp.float32)
-
-    # ONE fused matmul: lo/hi parts stacked along the contracting dim,
-    # 8-bit byte planes stacked along lanes.  Byte values (0..255) are
-    # bf16-exact on the MXU (16-bit halves are NOT — default single-pass
-    # bf16 rounds them, verified on v5e by stream_debug_hw.py), and each
-    # output lane is a single-term f32 accumulation.  Fusing 8 small
-    # matmuls into one (S, 2*rows)@(2*rows, 512) also lifts the MXU out
-    # of pipeline-latency dominance (ablation: dispatch was 67% of pass
-    # time as 8 separate (S,128,128) matmuls).
     aT_cat = jnp.concatenate([aT_lo, aT_hi], axis=0)   # (2*rows, S)
 
     def bytes4(part):
@@ -227,15 +216,32 @@ def _bucket_slot(parted, counts, col_prefix, rowstart, b, fill,
             [((jax.lax.shift_right_logical(part, jnp.int32(s))) & 0xFF
               ).astype(jnp.float32) for s in (0, 8, 16, 24)], axis=1)
 
-    rhs = jnp.concatenate([bytes4(low), bytes4(high)], axis=0)
+    lows, highs = [], []
+    for p in parteds:
+        rot = jnp.take_along_axis(p, srcidx, axis=1)
+        lows.append(bytes4(jnp.where(m_low, rot, 0)))
+        highs.append(bytes4(jnp.where(wrapped, rot, 0)))
+    rhs = jnp.concatenate(
+        [jnp.concatenate(lows, axis=1), jnp.concatenate(highs, axis=1)],
+        axis=0)                                        # (2*rows, NP*512)
     g = jax.lax.dot_general(aT_cat, rhs, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    gi = g.astype(jnp.int32)                           # (S, 512)
-    out = (gi[:, 0:LANES]
-           | (gi[:, LANES:2 * LANES] << 8)
-           | (gi[:, 2 * LANES:3 * LANES] << 16)
-           | (gi[:, 3 * LANES:4 * LANES] << 24))
-    return out
+    gi = g.astype(jnp.int32)                           # (S, NP*512)
+    outs = []
+    for p in range(NP):
+        o = p * 4 * LANES
+        outs.append(gi[:, o:o + LANES]
+                    | (gi[:, o + LANES:o + 2 * LANES] << 8)
+                    | (gi[:, o + 2 * LANES:o + 3 * LANES] << 16)
+                    | (gi[:, o + 3 * LANES:o + 4 * LANES] << 24))
+    return outs
+
+
+def _bucket_slot(parted, counts, col_prefix, rowstart, b, fill,
+                 slot_rows):
+    """Single-plane convenience wrapper over :func:`_bucket_slots`."""
+    return _bucket_slots((parted,), counts, col_prefix, rowstart, b,
+                         fill, slot_rows)[0]
 
 
 def tile_dispatch(parted, d_parted, counts, rowstart, fills, radix,
@@ -312,21 +318,27 @@ def tile_dispatch(parted, d_parted, counts, rowstart, fills, radix,
 
 # ---------------------------------------------------------- the pass kernel
 
-def _pass_kernel(sh_ref, base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
-                 tails_out_ref, tails_s, stage, sems, *, radix, rows,
-                 nbits, ablate=0):
-    """One radix pass, one tile per sequential grid step.
+def _pass_kernel(sh_ref, base_ref, cnt_ref, *refs, radix, rows, nbits,
+                 nplanes, ablate=0):
+    """One radix pass over ``nplanes`` value planes (keys = plane 0 drives
+    the digits; payload planes ride the identical permutation), one tile
+    per sequential grid step.
 
-    Scalar prefetch: base_ref (B, R) global element offsets per (tile,
-    digit); cnt_ref (B, R) per-(tile, digit) counts.  keys_ref: (rows, 128)
-    int32 tile (auto-pipelined).  out_hbm: (B*rows, 128) ANY — written with
-    manual row-granular DMAs (never overlapping across steps: only FULL
-    rows are written; partial rows ride the carry).  heads_ref/
-    tails_out_ref: (R, 128) VMEM outputs for the XLA boundary epilogue.
-    tails_s: (R, 128) carry scratch.  stage: (R*slot_rows, 128) staging.
-    sems: DMA semaphore (v1 issues serially: start+wait per flush; the
-    cross-step overlapped protocol is a planned optimization).
+    refs layout: nplanes input tiles (rows, 128) VMEM; nplanes HBM outs;
+    heads_ref, tails_out_ref (nplanes*R, 128) VMEM outputs (plane-major);
+    scratch: tails_s (nplanes*R, 128), stage (R*nplanes*slot_rows, 128),
+    one DMA semaphore (serial start+wait v1).
+
+    Scalar prefetch: pass shift (1,), base (B, R) global offsets, cnt
+    (B, R) per-(tile, digit) counts.  Only FULL 128-element rows are
+    DMA'd; partial tails ride VMEM carries across grid steps, so blocks'
+    ragged segments stitch densely (digit-boundary rows are rebuilt by
+    the XLA epilogue from heads/tails).
     """
+    NP = nplanes
+    ins = refs[:NP]
+    outs = refs[NP:2 * NP]
+    heads_ref, tails_out_ref, tails_s, stage, sems = refs[2 * NP:]
     t = pl.program_id(0)
     B = pl.num_programs(0)
     slot_rows = rows + 1
@@ -336,7 +348,7 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
         tails_s[...] = jnp.zeros(tails_s.shape, tails_s.dtype)
         heads_ref[...] = jnp.zeros(heads_ref.shape, heads_ref.dtype)
 
-    keys = keys_ref[...]
+    keys = ins[0][...]
     # dynamic pass shift (scalar prefetch): ONE kernel compile serves all
     # passes — remote compiles cost minutes each (CLAUDE.md).
     digits = jax.lax.shift_right_logical(
@@ -348,7 +360,7 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
     idx = _row_partition_indices(digits, rank, counts, radix)
     rowstart = _excl_cumsum(counts, 1)
     col_prefix = _excl_cumsum(counts, 0)
-    parted = jnp.take_along_axis(keys, idx, axis=1)
+    parteds = tuple(jnp.take_along_axis(r[...], idx, axis=1) for r in ins)
 
     li1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
@@ -357,36 +369,27 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
         e = base_ref[t, b]
         c = cnt_ref[t, b]
         cl = jnp.remainder(e, LANES)
-        slot0 = b * slot_rows
 
-        carry = jnp.where(li1 < cl, tails_s[b:b + 1, :], 0)
-        if ablate == 2:     # profiling: skip the dispatch matmuls
-            slotbuf = jnp.broadcast_to(parted[0:1, :] + b,
-                                       (slot_rows, LANES)).astype(jnp.int32)
-            row0 = jax.lax.broadcasted_iota(
-                jnp.int32, (slot_rows, LANES), 0) == 0
-            slotbuf = jnp.where(row0, slotbuf | carry, slotbuf)
-            stage[slot0:slot0 + slot_rows, :] = slotbuf
-        else:
-            # TIERED slot heights: the dispatch matmul's work scales with
-            # the slot height, but a bucket only needs (cl+c)//128 + 1
-            # rows.  For uniform data at R buckets that is ~rows/R + 1 —
-            # an order of magnitude below the adversarial worst case, so
-            # each bucket picks the smallest static tier that fits
-            # (ablation: one-tier dispatch was 67% of pass time).
-            needed = (cl + c) // LANES + 1
-            prev_cap = 0
-            for S_t in _tiers(rows, slot_rows):
-                @pl.when(jnp.logical_and(needed > prev_cap,
-                                         needed <= S_t))
-                def _(b=b, slot0=slot0, cl=cl, carry=carry, S_t=S_t):
-                    buf = _bucket_slot(parted, counts, col_prefix,
-                                       rowstart, b, cl, S_t)
-                    row0 = jax.lax.broadcasted_iota(
-                        jnp.int32, (S_t, LANES), 0) == 0
-                    buf = jnp.where(row0, buf | carry, buf)
+        carries = [jnp.where(li1 < cl, tails_s[p * radix + b:
+                                               p * radix + b + 1, :], 0)
+                   for p in range(NP)]
+        # TIERED slot heights: the dispatch matmul's work scales with the
+        # slot height, but a bucket only needs (cl+c)//128 + 1 rows —
+        # each bucket picks the smallest static tier that fits.
+        needed = (cl + c) // LANES + 1
+        prev_cap = 0
+        for S_t in _tiers(rows, slot_rows):
+            @pl.when(jnp.logical_and(needed > prev_cap, needed <= S_t))
+            def _(b=b, cl=cl, carries=carries, S_t=S_t):
+                bufs = _bucket_slots(parteds, counts, col_prefix,
+                                     rowstart, b, cl, S_t)
+                row0 = jax.lax.broadcasted_iota(
+                    jnp.int32, (S_t, LANES), 0) == 0
+                for p in range(NP):
+                    buf = jnp.where(row0, bufs[p] | carries[p], bufs[p])
+                    slot0 = (b * NP + p) * slot_rows
                     stage[slot0:slot0 + S_t, :] = buf
-                prev_cap = S_t
+            prev_cap = S_t
 
         gstart = e // LANES
         fw = base_ref[0, b] // LANES
@@ -397,30 +400,37 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
 
         # stash the digit's (never-DMA'd) first row for the epilogue
         @pl.when(jnp.logical_and(first_here, k_rows >= 1))
-        def _(b=b, slot0=slot0):
-            heads_ref[b:b + 1, :] = stage[slot0:slot0 + 1, :]
+        def _(b=b):
+            for p in range(NP):
+                slot0 = (b * NP + p) * slot_rows
+                heads_ref[p * radix + b:p * radix + b + 1, :] = (
+                    stage[slot0:slot0 + 1, :])
 
-        # skip only applies once a full row exists; a first writer that
-        # has not yet crossed its row boundary has k_rows=0, skip=1 — the
-        # clamp keeps the bit-decomposed DMA emitter from seeing -1.
+        # a first writer that has not yet crossed its row boundary has
+        # k_rows=0, skip=1 — clamp so the bit-decomposed DMA emitter
+        # never sees -1.
         cnt_rows = jnp.maximum(k_rows - skip, 0)
         for j in range(nbits):
             @pl.when(((cnt_rows >> j) & 1) == 1)
-            def _(b=b, j=j, cnt_rows=cnt_rows, skip=skip, gstart=gstart,
-                  slot0=slot0):
+            def _(b=b, j=j, cnt_rows=cnt_rows, skip=skip, gstart=gstart):
                 off = jax.lax.shift_right_logical(
                     cnt_rows, jnp.int32(j + 1)) << (j + 1)
-                if ablate != 1:    # profiling: skip HBM writes
+                for p in range(NP):
+                    slot0 = (b * NP + p) * slot_rows
                     cp = pltpu.make_async_copy(
                         stage.at[pl.ds(slot0 + skip + off, 1 << j), :],
-                        out_hbm.at[pl.ds(gstart + skip + off, 1 << j), :],
+                        outs[p].at[pl.ds(gstart + skip + off,
+                                         1 << j), :],
                         sems)
                     cp.start()
                     cp.wait()
 
-        # new carry = the (k_rows)-th slot row (partial tail, may be junk
-        # past (cl+c)%128 — masked on the next use).
-        tails_s[b:b + 1, :] = stage[pl.ds(slot0 + k_rows, 1), :]
+        # new carries = the (k_rows)-th slot rows (partial tails; junk
+        # past (cl+c)%128 is masked on the next use).
+        for p in range(NP):
+            slot0 = (b * NP + p) * slot_rows
+            tails_s[p * radix + b:p * radix + b + 1, :] = (
+                stage[pl.ds(slot0 + k_rows, 1), :])
 
     # ---- last step: export final carries for the XLA epilogue.
     @pl.when(t == B - 1)
@@ -428,14 +438,15 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, keys_ref, out_hbm, heads_ref,
         tails_out_ref[...] = tails_s[...]
 
 
-def _radix_pass(keys_i32, base_tbl, cnt_tbl, radix, rows, shift,
-                ablate=0):
-    """One streaming radix pass; ``shift`` may be a traced int32 scalar —
-    the kernel is shift-dynamic so all passes share one compile."""
-    """Run one streaming radix pass.  keys_i32: (N,) int32 (N a multiple of
-    rows*128).  Returns (out, heads, tails) with the boundary rows NOT yet
-    fixed up (apply _boundary_fixup)."""
-    n = keys_i32.shape[0]
+def _radix_pass(planes, base_tbl, cnt_tbl, radix, rows, shift):
+    """Run one streaming radix pass over a tuple of int32 planes (digits
+    from plane 0; every plane permuted identically).  ``shift`` may be a
+    traced int32 scalar — the kernel is shift-dynamic so all passes share
+    one compile.  Returns (outs, heads, tails); boundary rows still need
+    :func:`_boundary_fixup` per plane."""
+    planes = tuple(planes)
+    NP = len(planes)
+    n = planes[0].shape[0]
     B = n // (rows * LANES)
     slot_rows = rows + 1
     NBITS = max(1, int(np.ceil(np.log2(slot_rows + 1))))
@@ -444,29 +455,30 @@ def _radix_pass(keys_i32, base_tbl, cnt_tbl, radix, rows, shift,
         num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[pl.BlockSpec((rows, LANES), lambda t, *_: (t, 0),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM)] * NP,
         out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((radix, LANES), lambda t, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((radix, LANES), lambda t, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
+            tuple([pl.BlockSpec(memory_space=pl.ANY)] * NP)
+            + (pl.BlockSpec((NP * radix, LANES), lambda t, *_: (0, 0),
+                            memory_space=pltpu.VMEM),
+               pl.BlockSpec((NP * radix, LANES), lambda t, *_: (0, 0),
+                            memory_space=pltpu.VMEM))
         ),
         scratch_shapes=[
-            pltpu.VMEM((radix, LANES), jnp.int32),
-            pltpu.VMEM((radix * slot_rows, LANES), jnp.int32),
+            pltpu.VMEM((NP * radix, LANES), jnp.int32),
+            pltpu.VMEM((radix * NP * slot_rows, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     sh = jnp.reshape(jnp.asarray(shift, jnp.int32), (1,))
-    out, heads, tails = pl.pallas_call(
+    res = pl.pallas_call(
         functools.partial(_pass_kernel, radix=radix, rows=rows,
-                          nbits=NBITS, ablate=ablate),
+                          nbits=NBITS, nplanes=NP),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n // LANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((radix, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((radix, LANES), jnp.int32),
+            tuple([jax.ShapeDtypeStruct((n // LANES, LANES), jnp.int32)]
+                  * NP)
+            + (jax.ShapeDtypeStruct((NP * radix, LANES), jnp.int32),
+               jax.ShapeDtypeStruct((NP * radix, LANES), jnp.int32))
         ),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -477,8 +489,11 @@ def _radix_pass(keys_i32, base_tbl, cnt_tbl, radix, rows, shift,
         # output (only the last lands); the TPU-model interpreter is
         # faithful to semaphore/DMA semantics.
         interpret=(pltpu.InterpretParams() if _interpret() else False),
-    )(sh, base_tbl, cnt_tbl, keys_i32.reshape(n // LANES, LANES))
-    return out, heads, tails
+    )(sh, base_tbl, cnt_tbl,
+      *(p.reshape(n // LANES, LANES) for p in planes))
+    outs = res[:NP]
+    heads, tails = res[NP], res[NP + 1]
+    return outs, heads, tails
 
 
 def _boundary_fixup(out2d, heads, tails, dstart, totals, radix):
@@ -526,58 +541,120 @@ def _boundary_fixup(out2d, heads, tails, dstart, totals, radix):
     return out2d
 
 
-def sort_u32_keys(keys_u32: jnp.ndarray, radix: int = 16,
-                  rows: int = 128) -> jnp.ndarray:
-    """Full LSD sort of uint32 keys via streaming passes (key-only v1).
-
-    Pads to a tile multiple with the max sentinel; each pass is histogram
-    (pallas_radix kernels) → digit-major scan → streaming scatter kernel →
-    XLA boundary fixup.  Degenerate passes (all keys share one digit) are
-    skipped — the reference's CPU early-exit (CRadixSortCPU.h) done on
-    device.
+def _sort_planes(planes, digit_sel, radix, rows, n, padded):
+    """Generic streaming LSD driver: ``planes`` is a tuple of padded int32
+    planes; ``digit_sel`` gives, per pass, (plane_index, shift).  Digits
+    always come from plane 0 inside the kernel, so the driver reorders
+    planes per pass (free renaming in XLA) — one kernel compile serves
+    every pass, dtype width, and payload count.
     """
     from . import pallas_radix as pr
 
-    n = keys_u32.shape[0]
-    # adapt the tile height to tiny inputs (avoids padding 2K keys to a
-    # 16K tile — and keeps interpret-mode tests tractable)
-    rows = max(8, min(rows, -(-n // LANES)))
     tile = rows * LANES
-    padded = max(tile, -(-n // tile) * tile)
-    x = keys_u32
-    if padded != n:
-        x = jnp.concatenate(
-            [x, jnp.full((padded - n,), jnp.uint32(0xFFFFFFFF))])
-    cur = jax.lax.bitcast_convert_type(x, jnp.int32)
-    nbits = 32
-    bits_per = int(np.log2(radix))
-    num_passes = -(-nbits // bits_per)
     B = padded // tile
+    NP = len(planes)
 
-    for p in range(num_passes):
-        shift = p * bits_per
+    for p_idx, shift in digit_sel:
+        order = (p_idx,) + tuple(i for i in range(NP) if i != p_idx)
+        inv = tuple(order.index(i) for i in range(NP))
+        cur = tuple(planes[i] for i in order)
+
         digits = jax.lax.shift_right_logical(
-            jax.lax.bitcast_convert_type(cur, jnp.uint32),
+            jax.lax.bitcast_convert_type(cur[0], jnp.uint32),
             jnp.uint32(shift)).astype(jnp.int32) & (radix - 1)
         hist = pr.digit_histogram(digits, radix, tile)        # (B, R)
         totals = jnp.sum(hist, axis=0)
-
         flat = hist.T.reshape(-1)
         scanned = pr.exclusive_scan(flat)
-        base_tbl = scanned.reshape(radix, B).T                # (B, R)
-        base_tbl = base_tbl.astype(jnp.int32)
+        base_tbl = scanned.reshape(radix, B).T.astype(jnp.int32)
         dstart = base_tbl[0, :]
 
         def run_pass(cur, base_tbl=base_tbl, hist=hist, dstart=dstart,
                      totals=totals, shift=shift):
-            out2d, heads, tails = _radix_pass(
-                cur, base_tbl, hist.astype(jnp.int32), radix, rows, shift)
-            out2d = _boundary_fixup(out2d, heads, tails, dstart, totals,
-                                    radix)
-            return out2d.reshape(-1)
+            outs, heads, tails = _radix_pass(
+                cur, base_tbl, hist.astype(jnp.int32), radix, rows,
+                shift)
+            fixed = []
+            for p in range(len(cur)):
+                o = _boundary_fixup(
+                    outs[p], heads[p * radix:(p + 1) * radix],
+                    tails[p * radix:(p + 1) * radix], dstart, totals,
+                    radix)
+                fixed.append(o.reshape(-1))
+            return tuple(fixed)
 
+        # degenerate pass (all keys share the digit) → identity; the
+        # reference's CPU early-exit (CRadixSortCPU.h) done on device.
         degenerate = jnp.max(totals) == padded
-        cur = jax.lax.cond(degenerate, lambda c, *_: c, run_pass, cur)
+        cur = jax.lax.cond(degenerate, lambda c: c, run_pass, cur)
+        planes = tuple(cur[inv[i]] for i in range(NP))
+    return planes
 
-    out = jax.lax.bitcast_convert_type(cur, jnp.uint32)
-    return out[:n]
+
+def _pad_planes(arrs, fills, tile):
+    n = arrs[0].shape[0]
+    padded = max(tile, -(-n // tile) * tile)
+    out = []
+    for a, f in zip(arrs, fills):
+        if padded != n:
+            a = jnp.concatenate([a, jnp.full((padded - n,), f, a.dtype)])
+        out.append(jax.lax.bitcast_convert_type(a, jnp.int32))
+    return tuple(out), padded
+
+
+def sort_u32_keys(keys_u32: jnp.ndarray, radix: int = 16,
+                  rows: int = 128) -> jnp.ndarray:
+    """Full LSD sort of uint32 keys via streaming passes (key-only).
+
+    Pads to a tile multiple with the max sentinel; each pass is histogram
+    (pallas_radix kernels) → digit-major scan → streaming scatter kernel →
+    XLA boundary fixup; degenerate passes are skipped.
+    """
+    n = keys_u32.shape[0]
+    rows = max(8, min(rows, -(-n // LANES)))
+    planes, padded = _pad_planes((keys_u32,), (jnp.uint32(0xFFFFFFFF),),
+                                 rows * LANES)
+    bits_per = int(np.log2(radix))
+    sel = [(0, p * bits_per) for p in range(-(-32 // bits_per))]
+    out = _sort_planes(planes, sel, radix, rows, n, padded)[0]
+    return jax.lax.bitcast_convert_type(out, jnp.uint32)[:n]
+
+
+def sort_u32_kv(keys_u32: jnp.ndarray, values_i32: jnp.ndarray,
+                radix: int = 16, rows: int = 128):
+    """Stable KV sort: the payload plane rides the identical permutation
+    through every pass (the capability the reference stubbed out —
+    PERMUT, src/RadixSortGPU.cpp:578)."""
+    n = keys_u32.shape[0]
+    rows = max(8, min(rows, -(-n // LANES)))
+    planes, padded = _pad_planes(
+        (keys_u32, values_i32), (jnp.uint32(0xFFFFFFFF),
+                                 jnp.int32(0)), rows * LANES)
+    bits_per = int(np.log2(radix))
+    sel = [(0, p * bits_per) for p in range(-(-32 // bits_per))]
+    ko, vo = _sort_planes(planes, sel, radix, rows, n, padded)
+    return (jax.lax.bitcast_convert_type(ko, jnp.uint32)[:n], vo[:n])
+
+
+def sort_u64_keys(keys_u64: jnp.ndarray, radix: int = 16,
+                  rows: int = 128) -> jnp.ndarray:
+    """64-bit sort as two 32-bit planes: low-word passes first, then
+    high-word passes (LSD order), both planes permuted together — no
+    64-bit vector ops ever reach Mosaic."""
+    n = keys_u64.shape[0]
+    rows = max(8, min(rows, -(-n // LANES)))
+    lo = (keys_u64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = jax.lax.shift_right_logical(
+        keys_u64, jnp.uint64(32)).astype(jnp.uint32)
+    planes, padded = _pad_planes(
+        (lo, hi), (jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF)),
+        rows * LANES)
+    bits_per = int(np.log2(radix))
+    per_word = -(-32 // bits_per)
+    sel = ([(0, p * bits_per) for p in range(per_word)]
+           + [(1, p * bits_per) for p in range(per_word)])
+    lo_o, hi_o = _sort_planes(planes, sel, radix, rows, n, padded)
+    lo_u = jax.lax.bitcast_convert_type(lo_o, jnp.uint32)[:n]
+    hi_u = jax.lax.bitcast_convert_type(hi_o, jnp.uint32)[:n]
+    return (hi_u.astype(jnp.uint64) << jnp.uint64(32)) | lo_u.astype(
+        jnp.uint64)

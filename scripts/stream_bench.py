@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--rows", type=int, default=128)
     ap.add_argument("--dist", default="uniform",
                     choices=["uniform", "zeros", "skewed", "range", "all"])
+    ap.add_argument("--mode", default="keys",
+                    choices=["keys", "kv", "u64"])
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--validate-logn", type=int, default=20)
     args = ap.parse_args()
@@ -49,8 +51,23 @@ def main():
             return jnp.where(sel, jnp.uint32(7), bits)
         return bits
 
-    sort_fn = jax.jit(lambda k: ps.sort_u32_keys(
-        k, radix=args.radix, rows=args.rows))
+    if args.mode == "kv":
+        def sort_fn(k):
+            ko, vo = ps.sort_u32_kv(
+                k, jnp.arange(k.shape[0], dtype=jnp.int32),
+                radix=args.radix, rows=args.rows)
+            return ko + vo.astype(jnp.uint32) * 0
+    elif args.mode == "u64":
+        import jax as _j
+        _j.config.update("jax_enable_x64", True)
+
+        def sort_fn(k64):
+            return ps.sort_u64_keys(k64, radix=args.radix,
+                                    rows=args.rows)
+    else:
+        sort_fn = lambda k: ps.sort_u32_keys(  # noqa: E731
+            k, radix=args.radix, rows=args.rows)
+    sort_fn = jax.jit(sort_fn)
 
     # ---- validate at the TARGET size (one compile total per process —
     # each size is a separate multi-minute remote compile, so --dist all
@@ -60,6 +77,23 @@ def main():
     keys = None
     for dist in dists:
         keys = gen(n, dist)
+        if args.mode == "u64":
+            keys = (keys.astype(jnp.uint64) << jnp.uint64(32)) | \
+                jax.random.bits(jax.random.key(7), (n,),
+                                dtype=jnp.uint32).astype(jnp.uint64)
+        if args.mode == "kv":
+            kh = np.asarray(keys)
+            ko, vo = jax.jit(lambda k: ps.sort_u32_kv(
+                k, jnp.arange(n, dtype=jnp.int32), radix=args.radix,
+                rows=args.rows))(keys)
+            order = np.argsort(kh, kind="stable")
+            okk = np.array_equal(np.asarray(ko), kh[order])
+            okv = np.array_equal(np.asarray(vo), order.astype(np.int32))
+            print(f"validate 2^{args.logn} {dist} kv: keys={okk} "
+                  f"stable-perm={okv}", flush=True)
+            if not (okk and okv):
+                return
+            continue
         keys.block_until_ready()
         t0 = time.time()
         out = sort_fn(keys)
@@ -67,8 +101,8 @@ def main():
         print(f"run+fetch: {time.time() - t0:.1f}s", flush=True)
         exp = np.sort(np.asarray(keys))
         ok_full = np.array_equal(outh, exp)
-        print(f"validate 2^{args.logn} {dist}: full={ok_full}",
-              flush=True)
+        print(f"validate 2^{args.logn} {dist} {args.mode}: "
+              f"full={ok_full}", flush=True)
         if not ok_full:
             bad = np.nonzero(outh != exp)[0]
             print(f"  nbad={len(bad)} first={bad[:5]} rows="
@@ -76,6 +110,8 @@ def main():
                   f"got={outh[bad[:3]].tolist()} "
                   f"exp={exp[bad[:3]].tolist()}")
             return
+    if args.mode == "kv":
+        return
 
     check_fn = jax.jit(lambda o, k: jnp.all(o[1:] >= o[:-1])
                        & (jnp.sum(o, dtype=jnp.uint64)

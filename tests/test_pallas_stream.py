@@ -110,3 +110,69 @@ def test_sort_engine_pallas_stream_fallback_kv():
     order = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(np.asarray(k), keys[order])
     np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+import os as _os
+
+_SLOW = bool(_os.environ.get("RST_SLOW_TESTS"))
+
+
+def test_stream_kv_single_pass_oracle():
+    """One 2-plane streaming pass vs a stable counting-sort oracle (full
+    multi-pass interpret runs cost minutes — the end-to-end KV/u64 paths
+    are validated on hardware by scripts/stream_bench.py and, when
+    RST_SLOW_TESTS=1, by the gated tests below)."""
+    from radix_sort_tpu.ops import pallas_stream as ps
+    from radix_sort_tpu.ops import pallas_radix as pr
+
+    rng = np.random.default_rng(13)
+    rows, R, B = 8, 16, 2
+    n = rows * 128 * B
+    keys = rng.integers(0, 2**32, n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.int32)
+    digits = (keys & (R - 1)).astype(np.int32)
+    hist = pr.digit_histogram(jnp.asarray(digits), R, rows * 128)
+    base = pr.exclusive_scan(
+        hist.T.reshape(-1)).reshape(R, B).T.astype(jnp.int32)
+    planes = (jax.lax.bitcast_convert_type(jnp.asarray(keys), jnp.int32),
+              jnp.asarray(vals))
+    outs, heads, tails = ps._radix_pass(
+        planes, base, hist.astype(jnp.int32), R, rows, 0)
+    totals = jnp.sum(hist, axis=0)
+    fixed = [ps._boundary_fixup(outs[p], heads[p * R:(p + 1) * R],
+                                tails[p * R:(p + 1) * R], base[0, :],
+                                totals, R).reshape(-1)
+             for p in range(2)]
+    order = np.argsort(digits, kind="stable")
+    np.testing.assert_array_equal(
+        np.asarray(fixed[0]), keys[order].view(np.int32))
+    np.testing.assert_array_equal(np.asarray(fixed[1]), vals[order])
+
+
+@pytest.mark.skipif(not _SLOW, reason="multi-pass interpret runs cost "
+                    "minutes; set RST_SLOW_TESTS=1 (hardware validation "
+                    "covers these paths otherwise)")
+def test_stream_kv_stable_tiny():
+    from radix_sort_tpu.ops import pallas_stream as ps
+
+    rng = np.random.default_rng(13)
+    keys = rng.integers(0, 8, 1024).astype(np.uint32)  # heavy ties
+    vals = np.arange(1024, dtype=np.int32)
+    k, v = ps.sort_u32_kv(jnp.asarray(keys), jnp.asarray(vals))
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+@pytest.mark.skipif(not _SLOW, reason="multi-pass interpret runs cost "
+                    "minutes; set RST_SLOW_TESTS=1 (hardware validation "
+                    "covers these paths otherwise)")
+def test_stream_u64_tiny():
+    from radix_sort_tpu.ops import pallas_stream as ps
+
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    rng = np.random.default_rng(14)
+    keys = rng.integers(0, 2**63, 1024).astype(np.uint64)
+    out = np.asarray(ps.sort_u64_keys(jnp.asarray(keys)))
+    np.testing.assert_array_equal(out, np.sort(keys))
