@@ -47,20 +47,24 @@ def _biased_with_sentinel(table: Table, key: str):
 
 
 def _merge_scan_join(probe: Table, build: Table, key: str,
-                     out_capacity: int, suffixes):
-    """Gather/scatter-free inner join for unique build keys (the hot path —
-    XLA TPU gather runs at ~1.5 GB/s, docs/DESIGN.md §2.2):
+                     out_capacity: int, suffixes, max_duplicates: int = 1):
+    """Gather/scatter-free inner join (the hot path — XLA TPU gather runs
+    at ~1.5 GB/s, docs/DESIGN.md §2.2), any duplicate fanout:
 
       1. ONE stable multi-key sort of build+probe rows by (key, side) with
          every column as payload (build rows first among equal keys).
-      2. a segmented forward scan propagates each build row's payload to the
-         probe rows in its key run (lax.associative_scan — no gathers).
-      3. matched probe rows compact to the front with one more stable sort.
+      2. for j in [0, max_duplicates): a segmented forward scan seeds the
+         j-th build row of each key run and propagates its payload to the
+         run's probe rows (lax.associative_scan — no gathers).
+      3. the (n × D) candidate grid flattens position-major (probe order
+         preserved, duplicates adjacent) and matched rows compact to the
+         front with one more stable sort.
 
-    Output rows are emitted in key order (probe order preserved within
-    equal keys).  Padding rows on either side never match (sentinel keys
-    with a no-match flag).
+    Padding rows on either side never match (sentinel keys + validity).
+    A key run with more than max_duplicates build rows raises the
+    overflow flag (detected via the j==D seed — no extra pass).
     """
+    D = max_duplicates
     P, B = probe.capacity, build.capacity
     n = P + B
     pu = _biased_with_sentinel(probe, key)
@@ -93,49 +97,67 @@ def _merge_scan_join(probe: Table, build: Table, key: str,
     # run starts: first row of each distinct key.
     is_start = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
     is_build = jnp.logical_and(side_s == 0, bval_s)
-    # duplicate build keys within one run (violates the max_duplicates=1
-    # contract — reported via the overflow flag, like the expand path).
-    prev_build = jnp.concatenate([jnp.zeros((1,), bool), is_build[:-1]])
-    is_dup = is_build & prev_build & ~is_start
 
-    # propagate (has_build, run_has_dup, FIRST build payload) within runs.
-    def combine(a, b):
-        reset_a, hasb_a, dup_a = a[0], a[1], a[2]
-        reset_b, hasb_b, dup_b = b[0], b[1], b[2]
-        out_reset = jnp.logical_or(reset_a, reset_b)
-        out_has = jnp.where(reset_b, hasb_b,
-                            jnp.logical_or(hasb_a, hasb_b))
-        out_dup = jnp.where(reset_b, dup_b, jnp.logical_or(dup_a, dup_b))
-        # keep-first: only adopt b's payload when a has none (or b resets).
-        take_b = jnp.logical_or(reset_b,
-                                jnp.logical_and(hasb_b, ~hasb_a))
-        merged = [out_reset, out_has, out_dup]
-        for va, vb in zip(a[3:], b[3:]):
-            merged.append(jnp.where(take_b, vb, va))
-        return tuple(merged)
+    # in-run build index (exclusive) via one segmented sum.
+    def seg_sum(a, b):
+        ra, ca = a
+        rb, cb = b
+        return jnp.logical_or(ra, rb), jnp.where(rb, cb, ca + cb)
 
-    carry_in = (is_start, is_build, is_dup) + tuple(
-        b_cols_s[nme] for nme in b_names)
-    scanned = jax.lax.associative_scan(combine, carry_in)
-    has_build = scanned[1]
-    run_has_dup = scanned[2]
-    prop_b = dict(zip(b_names, scanned[3:]))
+    _, bcnt_incl = jax.lax.associative_scan(
+        seg_sum, (is_start, is_build.astype(jnp.int32)))
+    bidx = bcnt_incl - is_build.astype(jnp.int32)
 
-    matched = jnp.logical_and(jnp.logical_and(side_s == 1, pval_s),
-                              has_build)
-    n_match = jnp.sum(matched.astype(jnp.int32))
-    dup_overflow = jnp.any(jnp.logical_and(matched, run_has_dup))
+    def run_ffill(seed_mask, payloads):
+        """Propagate the (unique-per-run) seeded row's payloads forward
+        within each key run; returns (has, propagated...)."""
+        def combine(a, b):
+            reset_a, has_a = a[0], a[1]
+            reset_b, has_b = b[0], b[1]
+            out_reset = jnp.logical_or(reset_a, reset_b)
+            out_has = jnp.where(reset_b, has_b,
+                                jnp.logical_or(has_a, has_b))
+            take_b = jnp.logical_or(reset_b, has_b)
+            merged = [out_reset, out_has]
+            for va, vb in zip(a[2:], b[2:]):
+                merged.append(jnp.where(take_b, vb, va))
+            return tuple(merged)
 
-    # compact matched probe rows (with their propagated build payloads).
+        res = jax.lax.associative_scan(
+            combine, (is_start, seed_mask) + tuple(payloads))
+        return res[1], res[2:]
+
+    is_probe_row = jnp.logical_and(side_s == 1, pval_s)
+    b_payloads = tuple(b_cols_s[nme] for nme in b_names)
+    matched_cols = []          # per j: (matched, propagated build cols)
+    for j in range(D):
+        seed_j = jnp.logical_and(is_build, bidx == j)
+        has_j, prop_j = run_ffill(seed_j, b_payloads)
+        matched_cols.append((jnp.logical_and(is_probe_row, has_j),
+                             prop_j))
+    # run exceeded the duplicate cap: a (D)-th build exists and the run
+    # has matched probe rows.
+    has_over, _ = run_ffill(jnp.logical_and(is_build, bidx == D), ())
+    dup_overflow = jnp.any(jnp.logical_and(is_probe_row, has_over)) \
+        if D < B else jnp.zeros((), bool)
+
+    # ---- emit: (n, D) candidates position-major, compact to the front.
+    def stack(per_j):                                     # D × (n,) → (n*D,)
+        return jnp.stack(per_j, axis=1).reshape(-1)
+
+    matched = stack([m for m, _ in matched_cols])
     names_out = []
     vals_out = []
     for nme in p_names:
         names_out.append(nme + suffixes[0])
-        vals_out.append(p_cols_s[nme])
-    for nme in b_names:
-        oname = nme + suffixes[1] if (nme + suffixes[0]) in names_out             else nme
+        vals_out.append(stack([p_cols_s[nme]] * D))
+    for i, nme in enumerate(b_names):
+        oname = nme + suffixes[1] if (nme + suffixes[0]) in names_out \
+            else nme
         names_out.append(oname)
-        vals_out.append(prop_b[nme])
+        vals_out.append(stack([mc[1][i] for mc in matched_cols]))
+
+    n_match = jnp.sum(matched.astype(jnp.int32))
     ck = jnp.where(matched, 0, 1).astype(jnp.int32)
     packed = jax.lax.sort((ck,) + tuple(vals_out), num_keys=1,
                           is_stable=True)[1:]
@@ -156,11 +178,14 @@ def hash_join(probe: Table, build: Table, key: str,
 
     ``max_duplicates`` bounds how many build rows may share one key (the
     per-key fanout); output capacity defaults to
-    ``probe.capacity * max_duplicates``.
+    ``probe.capacity * max_duplicates``.  Every fanout now runs the
+    gather-free merge-scan path (round 1 probed duplicate candidates with
+    an XLA gather — the ~1.4 GB/s primitive this engine bans from hot
+    paths).
 
     Returns ``(table, stats)`` where stats carries jit-safe device scalars
-    ``match_count`` and ``overflow`` (true match count exceeded capacity or a
-    key's duplicate run exceeded max_duplicates).
+    ``match_count`` and ``overflow`` (true match count exceeded capacity or
+    a key's duplicate run exceeded max_duplicates).
     """
     if out_capacity is None:
         out_capacity = probe.capacity * max_duplicates
@@ -169,70 +194,5 @@ def hash_join(probe: Table, build: Table, key: str,
     if pk.dtype != bk.dtype:
         raise ValueError(f"join key dtypes differ: {pk.dtype} vs {bk.dtype}")
 
-    if max_duplicates == 1:
-        return _merge_scan_join(probe, build, key, out_capacity, suffixes)
-
-    # ---- build phase: sort build side by biased key, padding last (build
-    # validity rides along so candidates can exclude padding rows, which
-    # share the sentinel value with real max-valued keys).
-    bu = dtypes.to_sortable_unsigned(bk)
-    sent = dtypes._np_scalar(np.dtype(bu.dtype),
-                             dtypes.sentinel_max_unsigned(bu.dtype))
-    bu = jnp.where(build.valid_mask(), bu, sent)
-    b_names = build.column_names
-    payload = {n: build.columns[n] for n in b_names}
-    payload["__bvalid__"] = build.valid_mask().astype(jnp.int32)
-    bu_sorted, b_sorted = sort_ops.sort_kv(bu, payload, config=config)
-    bvalid_sorted = b_sorted.pop("__bvalid__").astype(bool)
-
-    # ---- probe phase: lower bound of each probe key in the sorted build.
-    pu = dtypes.to_sortable_unsigned(pk)
-    lo = _searchsorted_left(bu_sorted, pu).astype(jnp.int32)  # (P,)
-
-    P = probe.capacity
-    Bcap = build.capacity
-    probe_valid = probe.valid_mask()
-
-    # Expand each probe row over up to max_duplicates consecutive build rows.
-    # Candidates past the end of the build array are invalid (clamping alone
-    # would duplicate the last row's match).
-    offs = jnp.arange(max_duplicates, dtype=jnp.int32)            # (D,)
-    raw_cand = lo[:, None] + offs[None, :]                        # (P, D)
-    in_range = raw_cand < Bcap
-    cand = jnp.minimum(raw_cand, Bcap - 1)
-    cand_keys = bu_sorted[cand.reshape(-1)].reshape(P, max_duplicates)
-    cand_valid = bvalid_sorted[cand.reshape(-1)].reshape(P, max_duplicates)
-    match = (cand_keys == pu[:, None]) & probe_valid[:, None] \
-        & in_range & cand_valid                                   # (P, D)
-    # Guard duplicate-capped overflow: a run longer than max_duplicates means
-    # the D-th candidate still matches — detect for the overflow flag.
-    over_cand = jnp.minimum(lo + max_duplicates, Bcap - 1)
-    dup_overflow = jnp.any(
-        (bu_sorted[over_cand] == pu) & bvalid_sorted[over_cand]
-        & probe_valid & (lo + max_duplicates < Bcap))
-
-    # ---- emit: flatten (P, D) candidates, compact matches to the front.
-    flat_match = match.reshape(-1)
-    probe_idx = jnp.repeat(jnp.arange(P, dtype=jnp.int32), max_duplicates)
-    build_idx = cand.reshape(-1)
-
-    arrays = (probe_idx, build_idx)
-    (pidx, bidx), n_match = partition.compact_mask(flat_match, arrays)
-    n_out = jnp.minimum(n_match, out_capacity)
-    pidx = pidx[:out_capacity]
-    bidx = bidx[:out_capacity]
-
-    out_cols = {}
-    for n in probe.column_names:
-        name = n + suffixes[0]
-        out_cols[name] = probe.columns[n][pidx]
-    for n in b_names:
-        name = n + suffixes[1] if (n + suffixes[0]) in out_cols else n
-        out_cols[name] = b_sorted[n][bidx]
-
-    out = Table(out_cols, num_rows=n_out)
-    stats = {
-        "match_count": n_match,
-        "overflow": jnp.logical_or(n_match > out_capacity, dup_overflow),
-    }
-    return out, stats
+    return _merge_scan_join(probe, build, key, out_capacity, suffixes,
+                            max_duplicates=max_duplicates)
