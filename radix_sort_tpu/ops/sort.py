@@ -129,15 +129,25 @@ def _sort_biased_jit(keys_u, payloads, config: SortConfig, n: int):
 def _pallas_stream_engine(keys_u, payloads, n):
     """Streaming radix-scatter engine (ops/pallas_stream.py): the fully
     TPU-native reorder (lane gathers + one-hot MXU row-combines +
-    carry-chained row DMAs).  Key-only 32-bit containers in v1; other
-    shapes fall back to xla_sort.  Bit-exact on v5e across all reference
-    distributions; see docs/DESIGN.md §2.2 for the measured performance
-    frontier analysis."""
-    if payloads or dtypes.key_bits(keys_u.dtype) != 32:
-        return _xla_sort_engine(keys_u, payloads, n)
+    carry-chained row DMAs), stable by construction.  Covers 32-bit keys
+    (key-only and one 32-bit payload plane) and 64-bit keys (as lo/hi
+    planes); remaining shapes fall back to xla_sort.  Bit-exact on v5e
+    across all reference distributions; see docs/DESIGN.md §2.2c for the
+    measured performance frontier analysis."""
     from . import pallas_stream
 
-    return pallas_stream.sort_u32_keys(keys_u), ()
+    bits = dtypes.key_bits(keys_u.dtype)
+    if bits == 32 and not payloads:
+        return pallas_stream.sort_u32_keys(keys_u), ()
+    if (bits == 32 and len(payloads) == 1
+            and np.dtype(payloads[0].dtype).itemsize == 4):
+        p = payloads[0]
+        ko, po = pallas_stream.sort_u32_kv(
+            keys_u, jax.lax.bitcast_convert_type(p, jnp.int32))
+        return ko, (jax.lax.bitcast_convert_type(po, p.dtype),)
+    if bits == 64 and not payloads:
+        return pallas_stream.sort_u64_keys(keys_u), ()
+    return _xla_sort_engine(keys_u, payloads, n)
 
 
 def _pallas_merge_engine(keys_u, payloads, n):

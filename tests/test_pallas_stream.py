@@ -97,19 +97,22 @@ def test_sort_engine_dispatch_pallas_stream():
     np.testing.assert_array_equal(np.asarray(out), np.sort(keys))
 
 
-def test_sort_engine_pallas_stream_fallback_kv():
-    """Payload/64-bit shapes fall back to xla_sort (correctness contract
-    holds regardless of engine)."""
+def test_sort_engine_pallas_stream_fallback_multi_payload():
+    """Shapes the stream engine does not cover (here: two payload columns)
+    fall back to xla_sort — the correctness contract holds regardless."""
     from radix_sort_tpu.ops import sort as sort_ops
 
     rng = np.random.default_rng(12)
     keys = rng.integers(0, 1000, 4096).astype(np.uint32)
     vals = np.arange(4096, dtype=np.int32)
-    k, v = sort_ops.sort_kv(jnp.asarray(keys), jnp.asarray(vals),
-                            engine="pallas_stream")
+    k, vd = sort_ops.sort_kv(jnp.asarray(keys),
+                             {"a": jnp.asarray(vals),
+                              "b": jnp.asarray(vals * 2)},
+                             engine="pallas_stream")
     order = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(np.asarray(k), keys[order])
-    np.testing.assert_array_equal(np.asarray(v), vals[order])
+    np.testing.assert_array_equal(np.asarray(vd["a"]), vals[order])
+    np.testing.assert_array_equal(np.asarray(vd["b"]), vals[order] * 2)
 
 
 import os as _os
