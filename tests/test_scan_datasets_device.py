@@ -51,3 +51,31 @@ def test_device_random_distributed_plants(key_dtype):
 def test_device_unknown_rejected():
     with pytest.raises(ValueError):
         datasets_device.generate("Nope", np.uint32, 8)
+
+
+def test_switch_dispatch_generates_each_distribution():
+    """Regression for the round-1 sweep bug (ADVICE.md): a lax.switch branch
+    list built with a bare closure over the loop variable makes EVERY branch
+    generate the last name in ALL_NAMES, silently mislabeling benchmark
+    rows.  The dispatch pattern (as used by scripts/benchmark.py, with the
+    name bound at definition time) must generate each branch's own
+    distribution."""
+    import jax
+
+    n = 64
+    gen = jax.jit(lambda i, s: jax.lax.switch(
+        i,
+        [lambda s, nm=nm: datasets_device.generate(nm, np.uint32, n, seed=s)
+         for nm in datasets_device.ALL_NAMES],
+        s))
+    outs = []
+    for idx, nm in enumerate(datasets_device.ALL_NAMES):
+        expect = np.asarray(datasets_device.generate(nm, np.uint32, n,
+                                                     seed=0))
+        got = np.asarray(gen(idx, 0))
+        assert np.array_equal(got, expect), nm
+        outs.append(got)
+    # the five distributions are pairwise distinct at this n/seed
+    for a in range(len(outs)):
+        for b in range(a + 1, len(outs)):
+            assert not np.array_equal(outs[a], outs[b])
