@@ -112,10 +112,25 @@ def main():
             # the dev tunnel are minutes each, so per-row lambdas (fresh
             # jit cache entries) would dominate the sweep.
             sort_fn = lambda k: sort_ops.sort(k, config=cfg)  # noqa: E731
+            # Scale reps with size: the tunnel adds O(10 ms) per-call jitter
+            # that the chained difference only cancels when the extra
+            # (reps-1) sorts dwarf it.  Target >= ~50 ms of extra on-chip
+            # work (the network's cost is data-independent, so re-sorting
+            # sorted data times identically).  reps is a RUNTIME argument —
+            # one compile serves every rep count.
+            est_sort_s = max(n * 1.6e-9, 2e-5)
+            reps = int(min(4096, max(4, round(0.05 / est_sort_s) + 1)))
             chained = jax.jit(lambda a, r: jax.lax.fori_loop(
                 0, r, lambda _, v: sort_fn(v), a))
-            chain1 = lambda a: chained(a, jnp.int32(1))  # noqa: E731
-            chainR = lambda a: chained(a, jnp.int32(4))  # noqa: E731
+            chain1 = lambda a: chained(a, jnp.int32(1))       # noqa: E731
+            chainR = lambda a: chained(a, jnp.int32(reps))    # noqa: E731
+
+            def make_unrolled(reps_u):
+                def _chain(a):
+                    for _ in range(reps_u):
+                        a = sort_fn(a)
+                    return a
+                return jax.jit(_chain)
             sorted_fn = jax.jit(sort_fn)
             uview = (jnp.uint32 if np.dtype(dt).itemsize == 4
                      else jnp.uint64)
@@ -193,14 +208,29 @@ def main():
                 keys = gen_fn(ds_idx, 0)
                 keys.block_until_ready()
                 # warm
-                sync(chain1(keys)); sync(chainR(keys))
+                try:
+                    sync(chain1(keys)); sync(chainR(keys))
+                except Exception:  # noqa: BLE001
+                    # fori_loop-wrapped 64-bit sorts at VMEM-boundary sizes
+                    # (~2^21 u64 on v5e) blow XLA's 16 MiB scoped-vmem
+                    # budget ("should not be possible ... please file a bug
+                    # against XLA").  Fall back to an unrolled chain with
+                    # capped reps (compile cost grows with the unroll).
+                    reps = min(reps, 16)
+                    print(f"# fori-chain compile failed at n=2^{logn} "
+                          f"{dname}; unrolled fallback reps={reps}",
+                          flush=True)
+                    c1, cR = make_unrolled(1), make_unrolled(reps)
+                    chain1 = lambda a: c1(a)   # noqa: E731
+                    chainR = lambda a: cR(a)   # noqa: E731
+                    sync(chain1(keys)); sync(chainR(keys))
                 t1 = tr = 1e9
                 for _ in range(3):
                     t0 = time.perf_counter(); sync(chain1(keys))
                     t1 = min(t1, time.perf_counter() - t0)
                     t0 = time.perf_counter(); sync(chainR(keys))
                     tr = min(tr, time.perf_counter() - t0)
-                secs = (tr - t1) / 3
+                secs = (tr - t1) / (reps - 1)
                 if secs <= 1e-7:
                     # chained difference hit the floor (tiny inputs where
                     # dispatch dominates): report the single-run upper bound
@@ -214,19 +244,30 @@ def main():
                 # and scale by the pass count; differences give each stage.
                 t_h = t_s = t_r = 0.0
                 if phase_chains is not None:
+                    try:
+                        for ch in phase_chains:
+                            sync(ch(keys, jnp.int32(1)))
+                    except Exception:  # noqa: BLE001
+                        # same scoped-vmem compile bug as the main chain;
+                        # leave the per-kernel columns at 0 for this combo.
+                        print(f"# phase-chain compile failed at n=2^{logn} "
+                              f"{dname}; per-kernel columns stay 0",
+                              flush=True)
+                        phase_chains = None
+                if phase_chains is not None:
                     cum = []
                     for ch in phase_chains:
                         sync(ch(keys, jnp.int32(1)))
-                        sync(ch(keys, jnp.int32(4)))
+                        sync(ch(keys, jnp.int32(reps)))
                         ta = tb = 1e9
                         for _ in range(2):
                             t0 = time.perf_counter()
                             sync(ch(keys, jnp.int32(1)))
                             ta = min(ta, time.perf_counter() - t0)
                             t0 = time.perf_counter()
-                            sync(ch(keys, jnp.int32(4)))
+                            sync(ch(keys, jnp.int32(reps)))
                             tb = min(tb, time.perf_counter() - t0)
-                        cum.append(max((tb - ta) / 3, 0.0))
+                        cum.append(max((tb - ta) / (reps - 1), 0.0))
                     t_h = cum[0] * passes * 1e3
                     t_s = max(cum[1] - cum[0], 0.0) * passes * 1e3
                     t_r = max(cum[2] - cum[1], 0.0) * passes * 1e3
@@ -276,6 +317,10 @@ def main():
                     engine=sort_ops._dispatch_engine(cfg.engine))
                 rows.append(row)
                 flag = "" if valid else "  !!INVALID"
+                if roof > 1.0:
+                    # implied bandwidth above the HBM roofline is physically
+                    # impossible — timing noise survived the chained method.
+                    flag += "  !!NOISY"
                 print(f"2^{logn} {dname:4s} {ds_name:18s} {ms:9.3f} ms "
                       f"{mkeys:9.1f} Mkeys/s roof={roof:5.1%}{flag}",
                       flush=True)
