@@ -67,7 +67,9 @@ def _roll(x, shift, axis):
     if _interpret():
         return jnp.roll(x, shift, axis=axis)
     size = x.shape[axis]
-    return pltpu.roll(x, shift=shift % size, axis=axis)
+    # np.int32: a python-int shift traces to a weak i64 const under
+    # jax_enable_x64, which Mosaic cannot lower
+    return pltpu.roll(x, shift=np.int32(shift % size), axis=axis)
 
 
 def _partner(x, d: int, rows: int):
@@ -274,9 +276,9 @@ def _merge_sort_i32(keys_i32: jnp.ndarray, n: int) -> jnp.ndarray:
     x2 = pl.pallas_call(
         _tile_sort_kernel,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec((TILE_ROWS, LANES), lambda t: (t, 0),
+        in_specs=[pl.BlockSpec((TILE_ROWS, LANES), lambda t: (t, np.int32(0)),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((TILE_ROWS, LANES), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((TILE_ROWS, LANES), lambda t: (t, np.int32(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_tiles * TILE_ROWS, LANES),
                                        jnp.int32),

@@ -72,8 +72,8 @@ def _incl_cumsum(x: jnp.ndarray, axis: int) -> jnp.ndarray:
         if _interpret():
             rolled = jnp.roll(x, sh, axis=axis)
         else:
-            rolled = pltpu.roll(x, shift=sh, axis=axis)
-        x = x + jnp.where(idx >= sh, rolled, 0)
+            rolled = pltpu.roll(x, shift=np.int32(sh), axis=axis)
+        x = x + jnp.where(idx >= sh, rolled, jnp.int32(0))
         sh <<= 1
     return x
 
@@ -85,7 +85,14 @@ def _hist_kernel_narrow(d_ref, out_ref, *, radix):
     d = d_ref[...]                                   # (Mr, 128) int32
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, radix), 2)
     oh = (d[:, :, None] == iota).astype(jnp.int32)   # (Mr, 128, R)
-    out_ref[...] = jnp.sum(oh, axis=(0, 1)).reshape(1, 1, radix)
+    # chained single-axis sums with pinned int32: under jax_enable_x64 a
+    # multi-axis integer reduce_sum re-traces through promoting jnp ops
+    # inside Mosaic and dies on the int64
+    per_row = jnp.sum(oh, axis=1, dtype=jnp.int32,
+                      promote_integers=False)        # (Mr, R)
+    out_ref[...] = jnp.sum(per_row, axis=0, keepdims=True,
+                           dtype=jnp.int32,
+                           promote_integers=False).reshape(1, 1, radix)
 
 
 def _hist_kernel_wide(d_ref, out_ref, *, radix):
@@ -124,9 +131,11 @@ def digit_histogram(digits: jnp.ndarray, radix: int,
         out = pl.pallas_call(
             functools.partial(_hist_kernel_narrow, radix=radix),
             grid=(B,),
-            in_specs=[pl.BlockSpec((rows, LANES), lambda b: (b, 0),
+            in_specs=[pl.BlockSpec((rows, LANES), lambda b: (b, np.int32(0)),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, 1, radix), lambda b: (b, 0, 0),
+            out_specs=pl.BlockSpec(
+                (1, 1, radix),
+                lambda b: (b, np.int32(0), np.int32(0)),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, 1, radix), jnp.int32),
             interpret=_interpret(),
@@ -138,9 +147,10 @@ def digit_histogram(digits: jnp.ndarray, radix: int,
     out = pl.pallas_call(
         functools.partial(_hist_kernel_wide, radix=radix),
         grid=(B,),
-        in_specs=[pl.BlockSpec((rows, LANES), lambda b: (b, 0),
+        in_specs=[pl.BlockSpec((rows, LANES), lambda b: (b, np.int32(0)),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, h, 16), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec(
+            (1, h, 16), lambda b: (b, np.int32(0), np.int32(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, h, 16), jnp.int32),
         interpret=_interpret(),
@@ -169,7 +179,14 @@ def _scan_kernel(x_ref, out_ref, carry_ref):
     rp = _incl_cumsum(t, axis=0) - t
     excl = row - x + rp + carry_ref[0, 0]
     out_ref[...] = excl
-    carry_ref[0, 0] = carry_ref[0, 0] + jnp.sum(x)
+    # chained single-axis sums: under jax_enable_x64 Mosaic re-traces a
+    # MULTI-axis integer reduce_sum through promoting jnp ops and dies on
+    # the resulting int64 (single-axis int sums lower fine).
+    tot = jnp.sum(jnp.sum(x, axis=1, keepdims=True, dtype=jnp.int32,
+                          promote_integers=False),
+                  axis=0, keepdims=True, dtype=jnp.int32,
+                  promote_integers=False)
+    carry_ref[0, 0] = carry_ref[0, 0] + tot[0, 0]
 
 
 def exclusive_scan(x: jnp.ndarray) -> jnp.ndarray:
@@ -183,9 +200,9 @@ def exclusive_scan(x: jnp.ndarray) -> jnp.ndarray:
     out = pl.pallas_call(
         _scan_kernel,
         grid=(padded // chunk,),
-        in_specs=[pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((SUBLANES, LANES), lambda i: (i, np.int32(0)),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((SUBLANES, LANES), lambda i: (i, np.int32(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((padded // LANES, LANES), jnp.int32),
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
@@ -206,7 +223,8 @@ def _rank_kernel(d_ref, base_ref, out_ref, *, radix):
     d = d_ref[...]                                   # (Mr, 128) int32
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, radix), 2)
     oh = (d[:, :, None] == iota).astype(jnp.int32)   # (Mr, 128, R)
-    row_hist = jnp.sum(oh, axis=1)                   # (Mr, R)
+    row_hist = jnp.sum(oh, axis=1, dtype=jnp.int32,
+                       promote_integers=False)       # (Mr, R)
     row_prefix = _incl_cumsum(row_hist, axis=0) - row_hist
     # in-row exclusive rank among equal digits via a masked equality
     # matrix (cheaper than a 3-D one-hot cumsum: 128 vs R ops/element,
@@ -215,11 +233,13 @@ def _rank_kernel(d_ref, base_ref, out_ref, *, radix):
     ii = jax.lax.broadcasted_iota(jnp.int32, (1, LANES, LANES), 1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (1, LANES, LANES), 2)
     in_row = jnp.sum(jnp.logical_and(eq, jj < ii).astype(jnp.int32),
-                     axis=2)                         # (Mr, 128)
+                     axis=2, dtype=jnp.int32,
+                     promote_integers=False)         # (Mr, 128)
     # offsets select: (global base + rows-before-mine) at my digit.
     base_row = base_ref[...].reshape(1, radix)       # (1, R)
     sel = row_prefix + base_row                      # (Mr, R)
-    off = jnp.sum(sel[:, None, :] * oh, axis=2)      # (Mr, 128)
+    off = jnp.sum(sel[:, None, :] * oh, axis=2, dtype=jnp.int32,
+                  promote_integers=False)            # (Mr, 128)
     out_ref[...] = off + in_row
 
 
@@ -241,12 +261,14 @@ def rank_pass(digits: jnp.ndarray, block_base: jnp.ndarray, radix: int,
         functools.partial(_rank_kernel, radix=radix),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((rows, LANES), lambda b: (b, 0),
+            pl.BlockSpec((rows, LANES), lambda b: (b, np.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, radix), lambda b: (b, 0, 0),
+            pl.BlockSpec(
+                (1, 1, radix),
+                lambda b: (b, np.int32(0), np.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rows, LANES), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((rows, LANES), lambda b: (b, np.int32(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * rows, LANES), jnp.int32),
         interpret=_interpret(),

@@ -58,6 +58,34 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _mod_lanes(x):
+    """x mod 128 via bitwise-and — exact floor-mod for any-sign int32 in
+    two's complement (positive power-of-two modulus).  jnp.remainder on
+    signed vectors lowers to a divide + sign-fixup chain in Mosaic; this
+    is one VPU op."""
+    return x & (LANES - 1)
+
+
+def _div_lanes(x):
+    """x // 128 via arithmetic shift — exact floor-division for signed
+    two's-complement int32 (jnp >> is sign-propagating for signed)."""
+    return x >> 7
+
+
+
+def _take1(x, idx):
+    """Within-row gather: take_along_axis(x, idx, axis=1) with int32
+    indices preserved.  Under jax_enable_x64, jnp.take_along_axis
+    promotes its gather indices to int64, which Mosaic cannot lower;
+    this emits the identical gather (same dimension_numbers) directly.
+    Indices must be in-bounds (they are by construction everywhere
+    here)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+    return jax.lax.gather(x, idx[:, :, None], dnums, (1, 1),
+                          mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
+
 
 def _incl_cumsum(x, axis):
     """Inclusive prefix sum via Hillis-Steele roll+mask shift-adds — Mosaic
@@ -67,8 +95,8 @@ def _incl_cumsum(x, axis):
     sh = 1
     while sh < n:
         rolled = (jnp.roll(x, sh, axis=axis) if _interpret()
-                  else pltpu.roll(x, shift=sh, axis=axis))
-        x = x + jnp.where(idx >= sh, rolled, 0)
+                  else pltpu.roll(x, shift=np.int32(sh), axis=axis))
+        x = x + jnp.where(idx >= sh, rolled, jnp.int32(0))
         sh <<= 1
     return x
 
@@ -99,7 +127,8 @@ def _row_rank_eq(d):
         dd = d[r0:r0 + CH]
         eq = dd[:, :, None] == dd[:, None, :]            # (CH, l, l')
         outs.append(jnp.sum(
-            jnp.logical_and(eq, jj < ii).astype(jnp.int32), axis=2))
+            jnp.logical_and(eq, jj < ii).astype(jnp.int32), axis=2,
+            dtype=jnp.int32, promote_integers=False))
     return jnp.concatenate(outs, axis=0)
 
 
@@ -116,7 +145,8 @@ def _row_counts(d, radix):
     for r0 in range(0, rows, CH):
         chunk = jnp.reshape(d[r0:r0 + CH, :], (CH, LANES, 1))
         oh = (chunk == iota).astype(jnp.int32)            # (CH, 128, R)
-        outs.append(jnp.sum(oh, axis=1))                  # (CH, R)
+        outs.append(jnp.sum(oh, axis=1, dtype=jnp.int32,
+                                promote_integers=False))  # (CH, R)
     return jnp.concatenate(outs, axis=0)
 
 
@@ -133,7 +163,7 @@ def _row_partition_indices(d, rank, counts, radix):
     # dst = rowstart[r, d[r,l]] + rank: select via one-hot over R.
     sel = jnp.zeros(d.shape, jnp.int32)
     for dd in range(radix):
-        sel = sel + jnp.where(d == dd, rowstart[:, dd:dd + 1], 0)
+        sel = sel + jnp.where(d == dd, rowstart[:, dd:dd + 1], jnp.int32(0))
     dst = sel + rank                                      # (rows, 128)
     kk = jax.lax.broadcasted_iota(jnp.int32, (1, LANES, 1), 1)
     # int32 iota: tpu.iota rejects float result types
@@ -144,7 +174,8 @@ def _row_partition_indices(d, rank, counts, radix):
         # explicit reshape (slice+None indexing lowers to a Mosaic gather)
         chunk = jnp.reshape(dst[r0:r0 + CH, :], (CH, 1, LANES))
         oh = (chunk == kk).astype(jnp.int32)
-        outs.append(jnp.sum(oh * lane, axis=2))
+        outs.append(jnp.sum(oh * lane, axis=2, dtype=jnp.int32,
+                                promote_integers=False))
     return jnp.concatenate(outs, axis=0)                  # (rows, 128)
 
 
@@ -197,15 +228,16 @@ def _bucket_slots(parteds, counts, col_prefix, rowstart, b, fill,
     F = fill + col_prefix[:, b:b + 1]                  # (rows, 1)
     c = counts[:, b:b + 1]
     start = rowstart[:, b:b + 1]
-    phase = jnp.remainder(F, LANES)
-    srcidx = jnp.remainder(li - phase, LANES) + start
-    srcidx = jnp.clip(srcidx, 0, LANES - 1)
-    k = jnp.remainder(li - phase, LANES)
+    phase = _mod_lanes(F)
+    k = _mod_lanes(li - phase)                         # in-run index
+    # start + k < 128 whenever k < c (the run fits its row); masked-out
+    # lanes only need an in-bounds index, so a lane-wrap replaces clip.
+    srcidx = _mod_lanes(k + start)
     valid = k < c
     wrapped = jnp.logical_and(li < phase, valid)
     m_low = jnp.logical_and(valid, jnp.logical_not(wrapped))
 
-    srow = F // LANES                                  # (rows, 1)
+    srow = _div_lanes(F)                               # (rows, 1)
     sidx = jax.lax.broadcasted_iota(jnp.int32, (rows, slot_rows), 1)
     aT_lo = (srow == sidx).astype(jnp.float32)         # (rows, S)
     aT_hi = (srow + 1 == sidx).astype(jnp.float32)
@@ -213,14 +245,16 @@ def _bucket_slots(parteds, counts, col_prefix, rowstart, b, fill,
 
     def bytes4(part):
         return jnp.concatenate(
-            [((jax.lax.shift_right_logical(part, jnp.int32(s))) & 0xFF
-              ).astype(jnp.float32) for s in (0, 8, 16, 24)], axis=1)
+            [((part if s == 0
+               else jax.lax.shift_right_logical(part, jnp.int32(s)))
+              & 0xFF).astype(jnp.float32) for s in (0, 8, 16, 24)],
+            axis=1)
 
     lows, highs = [], []
     for p in parteds:
-        rot = jnp.take_along_axis(p, srcidx, axis=1)
-        lows.append(bytes4(jnp.where(m_low, rot, 0)))
-        highs.append(bytes4(jnp.where(wrapped, rot, 0)))
+        rot = _take1(p, srcidx)
+        lows.append(bytes4(jnp.where(m_low, rot, jnp.int32(0))))
+        highs.append(bytes4(jnp.where(wrapped, rot, jnp.int32(0))))
     rhs = jnp.concatenate(
         [jnp.concatenate(lows, axis=1), jnp.concatenate(highs, axis=1)],
         axis=0)                                        # (2*rows, NP*512)
@@ -283,12 +317,12 @@ def tile_dispatch(parted, d_parted, counts, rowstart, fills, radix,
         # "low" row (no wrap) and "high" row (wrapped lanes).
         src = jnp.remainder(li - phase[:, None], LANES) + start[:, None]
         src = jnp.clip(src, 0, LANES - 1)
-        rot = jnp.take_along_axis(parted, src, axis=1)     # (rows, 128)
+        rot = _take1(parted, src)                          # (rows, 128)
         k = jnp.remainder(li - phase[:, None], LANES)      # in-run index
         valid = k < c[:, None]
         wrapped = (li < phase[:, None]) & valid
-        low = jnp.where(valid & ~wrapped, rot, 0)
-        high = jnp.where(wrapped, rot, 0)
+        low = jnp.where(valid & ~wrapped, rot, jnp.int32(0))
+        high = jnp.where(wrapped, rot, jnp.int32(0))
         mlow = (valid & ~wrapped).astype(jnp.float32)
         mhigh = wrapped.astype(jnp.float32)
 
@@ -326,7 +360,7 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, *refs, radix, rows, nbits,
 
     refs layout: nplanes input tiles (rows, 128) VMEM; nplanes HBM outs;
     heads_ref, tails_out_ref (nplanes*R, 128) VMEM outputs (plane-major);
-    scratch: tails_s (nplanes*R, 128), stage (R*nplanes*slot_rows, 128),
+    scratch: tails_s (nplanes*R, 128), stage (nplanes*(rows+2R), 128),
     one DMA semaphore (serial start+wait v1).
 
     Scalar prefetch: pass shift (1,), base (B, R) global offsets, cnt
@@ -334,6 +368,16 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, *refs, radix, rows, nbits,
     DMA'd; partial tails ride VMEM carries across grid steps, so blocks'
     ragged segments stitch densely (digit-boundary rows are rebuilt by
     the XLA epilogue from heads/tails).
+
+    Staging is ONE fused one-hot matmul per grid step: every bucket's
+    rotated runs AND its incoming carry row stack along the contraction
+    dim, and dense dynamic region offsets (exclusive scan of per-bucket
+    row needs) pack all buckets into rows + 2R staging rows — no
+    per-bucket matmul latencies, tier branches, or slab writes.  The
+    single-term-sum exactness argument is unchanged: bucket regions are
+    disjoint by construction, runs tile each region row without overlap,
+    and the carry row's lanes (< phase) are disjoint from the first
+    run's lanes (>= phase).
     """
     NP = nplanes
     ins = refs[:NP]
@@ -341,7 +385,7 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, *refs, radix, rows, nbits,
     heads_ref, tails_out_ref, tails_s, stage, sems = refs[2 * NP:]
     t = pl.program_id(0)
     B = pl.num_programs(0)
-    slot_rows = rows + 1
+    M = rows + 2 * radix
 
     @pl.when(t == 0)
     def _init():
@@ -360,77 +404,132 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, *refs, radix, rows, nbits,
     idx = _row_partition_indices(digits, rank, counts, radix)
     rowstart = _excl_cumsum(counts, 1)
     col_prefix = _excl_cumsum(counts, 0)
-    parteds = tuple(jnp.take_along_axis(r[...], idx, axis=1) for r in ins)
+    parteds = tuple(_take1(r[...], idx) for r in ins)
 
+    li = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     li1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
-    # ---- stage and flush each bucket.
+    # ---- dense per-bucket stage regions: exclusive scan of row needs.
+    regs, cls, cnts, k_rows_l = [], [], [], []
+    reg = jnp.int32(0)
     for b in range(radix):
         e = base_ref[t, b]
         c = cnt_ref[t, b]
-        cl = jnp.remainder(e, LANES)
+        cl = _mod_lanes(e)
+        k_rows = _div_lanes(cl + c)
+        regs.append(reg)
+        cls.append(cl)
+        cnts.append(c)
+        k_rows_l.append(k_rows)
+        reg = reg + k_rows + jnp.int32(1)
 
-        carries = [jnp.where(li1 < cl, tails_s[p * radix + b:
-                                               p * radix + b + 1, :], 0)
-                   for p in range(NP)]
-        # TIERED slot heights: the dispatch matmul's work scales with the
-        # slot height, but a bucket only needs (cl+c)//128 + 1 rows —
-        # each bucket picks the smallest static tier that fits.
-        needed = (cl + c) // LANES + 1
-        prev_cap = 0
-        for S_t in _tiers(rows, slot_rows):
-            @pl.when(jnp.logical_and(needed > prev_cap, needed <= S_t))
-            def _(b=b, cl=cl, carries=carries, S_t=S_t):
-                bufs = _bucket_slots(parteds, counts, col_prefix,
-                                     rowstart, b, cl, S_t)
-                row0 = jax.lax.broadcasted_iota(
-                    jnp.int32, (S_t, LANES), 0) == 0
-                for p in range(NP):
-                    buf = jnp.where(row0, bufs[p] | carries[p], bufs[p])
-                    slot0 = (b * NP + p) * slot_rows
-                    stage[slot0:slot0 + S_t, :] = buf
-            prev_cap = S_t
+    # ---- ONE fused one-hot matmul stages every bucket + its carry.
+    sidx_r = jax.lax.broadcasted_iota(jnp.int32, (rows, M), 1)
+    sidx_1 = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
 
-        gstart = e // LANES
-        fw = base_ref[0, b] // LANES
-        unaligned = jnp.remainder(base_ref[0, b], LANES) != 0
-        k_rows = (cl + c) // LANES
+    # bf16 has an 8-bit significand: 0..255 byte planes and 0/1 one-hots
+    # are exact either way (measured perf-neutral on v5e — the matmul is
+    # tile-count-bound, docs/PROBES.md); the CPU interpreter emulates
+    # bf16 slowly, so interpret mode stays on f32.
+    mm_t = jnp.float32 if _interpret() else jnp.bfloat16
+
+    def bytes4(part):
+        return jnp.concatenate(
+            [((part if s == 0
+               else jax.lax.shift_right_logical(part, jnp.int32(s)))
+              & 0xFF).astype(mm_t) for s in (0, 8, 16, 24)],
+            axis=1)
+
+    a_pieces, r_pieces = [], []
+    for b in range(radix):
+        F = cls[b] + col_prefix[:, b:b + 1]            # (rows, 1)
+        srow = _div_lanes(F) + regs[b]
+        a_lo = (srow == sidx_r).astype(jnp.bfloat16)   # (rows, M)
+        a_hi = (srow + 1 == sidx_r).astype(jnp.bfloat16)
+        a_cr = (regs[b] == sidx_1).astype(jnp.bfloat16)  # (1, M)
+
+        c_col = counts[:, b:b + 1]
+        start = rowstart[:, b:b + 1]
+        phase = _mod_lanes(F)
+        k = _mod_lanes(li - phase)                     # in-run index
+        srcidx = _mod_lanes(k + start)
+        valid = k < c_col
+        wrapped = jnp.logical_and(li < phase, valid)
+        m_low = jnp.logical_and(valid, jnp.logical_not(wrapped))
+
+        lows, highs, crs = [], [], []
+        for p in range(NP):
+            rot = _take1(parteds[p], srcidx)
+            lows.append(bytes4(jnp.where(m_low, rot, jnp.int32(0))))
+            highs.append(bytes4(jnp.where(wrapped, rot, jnp.int32(0))))
+            carry = jnp.where(li1 < cls[b],
+                              tails_s[p * radix + b:p * radix + b + 1,
+                                      :], jnp.int32(0))
+            crs.append(bytes4(carry))
+        a_pieces.append(jnp.concatenate([a_lo, a_hi, a_cr], axis=0))
+        r_pieces.append(jnp.concatenate(
+            [jnp.concatenate(lows, axis=1),
+             jnp.concatenate(highs, axis=1),
+             jnp.concatenate(crs, axis=1)], axis=0))   # (2r+1, NP*512)
+
+    aT = jnp.concatenate(a_pieces, axis=0)             # (R*(2r+1), M)
+    rhs = jnp.concatenate(r_pieces, axis=0)            # (R*(2r+1), NP*512)
+    g = jax.lax.dot_general(aT, rhs, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    gi = g.astype(jnp.int32)                           # (M, NP*512)
+    packed = []
+    for p in range(NP):
+        o = p * 4 * LANES
+        packed.append(gi[:, o:o + LANES]
+                      | (gi[:, o + LANES:o + 2 * LANES] << 8)
+                      | (gi[:, o + 2 * LANES:o + 3 * LANES] << 16)
+                      | (gi[:, o + 3 * LANES:o + 4 * LANES] << 24))
+    stage[...] = jnp.concatenate(packed, axis=0)       # (NP*M, 128)
+
+    # ---- flush each bucket: full rows stream out, tails carry over.
+    for b in range(radix):
+        e = base_ref[t, b]
+        cl = cls[b]
+        k_rows = k_rows_l[b]
+        reg = regs[b]
+        gstart = _div_lanes(e)
+        fw = _div_lanes(base_ref[0, b])
+        unaligned = _mod_lanes(base_ref[0, b]) != 0
         first_here = jnp.logical_and(gstart == fw, unaligned)
-        skip = jnp.where(first_here, 1, 0)
+        skip = jnp.where(first_here, jnp.int32(1), jnp.int32(0))
 
         # stash the digit's (never-DMA'd) first row for the epilogue
         @pl.when(jnp.logical_and(first_here, k_rows >= 1))
-        def _(b=b):
+        def _(b=b, reg=reg):
             for p in range(NP):
-                slot0 = (b * NP + p) * slot_rows
                 heads_ref[p * radix + b:p * radix + b + 1, :] = (
-                    stage[slot0:slot0 + 1, :])
+                    stage[pl.ds(p * M + reg, 1), :])
 
         # a first writer that has not yet crossed its row boundary has
         # k_rows=0, skip=1 — clamp so the bit-decomposed DMA emitter
         # never sees -1.
-        cnt_rows = jnp.maximum(k_rows - skip, 0)
+        cnt_rows = jnp.maximum(k_rows - skip, jnp.int32(0))
         for j in range(nbits):
             @pl.when(((cnt_rows >> j) & 1) == 1)
-            def _(b=b, j=j, cnt_rows=cnt_rows, skip=skip, gstart=gstart):
+            def _(b=b, j=j, cnt_rows=cnt_rows, skip=skip, gstart=gstart,
+                  reg=reg):
                 off = jax.lax.shift_right_logical(
                     cnt_rows, jnp.int32(j + 1)) << (j + 1)
                 for p in range(NP):
-                    slot0 = (b * NP + p) * slot_rows
                     cp = pltpu.make_async_copy(
-                        stage.at[pl.ds(slot0 + skip + off, 1 << j), :],
+                        stage.at[pl.ds(p * M + reg + skip + off,
+                                       1 << j), :],
                         outs[p].at[pl.ds(gstart + skip + off,
                                          1 << j), :],
                         sems)
                     cp.start()
                     cp.wait()
 
-        # new carries = the (k_rows)-th slot rows (partial tails; junk
+        # new carries = the (k_rows)-th region rows (partial tails; junk
         # past (cl+c)%128 is masked on the next use).
         for p in range(NP):
-            slot0 = (b * NP + p) * slot_rows
             tails_s[p * radix + b:p * radix + b + 1, :] = (
-                stage[pl.ds(slot0 + k_rows, 1), :])
+                stage[pl.ds(p * M + reg + k_rows, 1), :])
 
     # ---- last step: export final carries for the XLA epilogue.
     @pl.when(t == B - 1)
@@ -448,24 +547,31 @@ def _radix_pass(planes, base_tbl, cnt_tbl, radix, rows, shift):
     NP = len(planes)
     n = planes[0].shape[0]
     B = n // (rows * LANES)
-    slot_rows = rows + 1
-    NBITS = max(1, int(np.ceil(np.log2(slot_rows + 1))))
+    M = rows + 2 * radix
+    # per-bucket DMA'd rows never exceed ``rows`` (a full tile)
+    NBITS = max(1, int(np.ceil(np.log2(rows + 2))))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
-        in_specs=[pl.BlockSpec((rows, LANES), lambda t, *_: (t, 0),
+        # np.int32 block-index constants: under jax_enable_x64 (the u64
+        # paths) a python-int 0 traces to a weak i64 in the index-map
+        # transform, which Mosaic cannot legalize
+        in_specs=[pl.BlockSpec((rows, LANES),
+                               lambda t, *_: (t, np.int32(0)),
                                memory_space=pltpu.VMEM)] * NP,
         out_specs=(
             tuple([pl.BlockSpec(memory_space=pl.ANY)] * NP)
-            + (pl.BlockSpec((NP * radix, LANES), lambda t, *_: (0, 0),
+            + (pl.BlockSpec((NP * radix, LANES),
+                            lambda t, *_: (np.int32(0), np.int32(0)),
                             memory_space=pltpu.VMEM),
-               pl.BlockSpec((NP * radix, LANES), lambda t, *_: (0, 0),
+               pl.BlockSpec((NP * radix, LANES),
+                            lambda t, *_: (np.int32(0), np.int32(0)),
                             memory_space=pltpu.VMEM))
         ),
         scratch_shapes=[
             pltpu.VMEM((NP * radix, LANES), jnp.int32),
-            pltpu.VMEM((radix * NP * slot_rows, LANES), jnp.int32),
+            pltpu.VMEM((NP * M, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -563,7 +669,7 @@ def _sort_planes(planes, digit_sel, radix, rows, n, padded):
             jax.lax.bitcast_convert_type(cur[0], jnp.uint32),
             jnp.uint32(shift)).astype(jnp.int32) & (radix - 1)
         hist = pr.digit_histogram(digits, radix, tile)        # (B, R)
-        totals = jnp.sum(hist, axis=0)
+        totals = jnp.sum(hist, axis=0, dtype=jnp.int32)
         flat = hist.T.reshape(-1)
         scanned = pr.exclusive_scan(flat)
         base_tbl = scanned.reshape(radix, B).T.astype(jnp.int32)
@@ -634,6 +740,32 @@ def sort_u32_kv(keys_u32: jnp.ndarray, values_i32: jnp.ndarray,
     sel = [(0, p * bits_per) for p in range(-(-32 // bits_per))]
     ko, vo = _sort_planes(planes, sel, radix, rows, n, padded)
     return (jax.lax.bitcast_convert_type(ko, jnp.uint32)[:n], vo[:n])
+
+
+def sort_u64_kv(keys_u64: jnp.ndarray, values_i32: jnp.ndarray,
+                radix: int = 16, rows: int = 128):
+    """Stable 64-bit KV sort: (lo, hi) key planes + one payload plane all
+    ride the same per-pass permutation (BASELINE config2's u64 KV shape on
+    the streaming engine)."""
+    n = keys_u64.shape[0]
+    rows = max(8, min(rows, -(-n // LANES)))
+    lo = (keys_u64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = jax.lax.shift_right_logical(
+        keys_u64, jnp.uint64(32)).astype(jnp.uint32)
+    planes, padded = _pad_planes(
+        (lo, hi, values_i32),
+        (jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF), jnp.int32(0)),
+        rows * LANES)
+    bits_per = int(np.log2(radix))
+    per_word = -(-32 // bits_per)
+    sel = ([(0, p * bits_per) for p in range(per_word)]
+           + [(1, p * bits_per) for p in range(per_word)])
+    lo_o, hi_o, vo = _sort_planes(planes, sel, radix, rows, n, padded)
+    lo_u = jax.lax.bitcast_convert_type(lo_o, jnp.uint32)[:n]
+    hi_u = jax.lax.bitcast_convert_type(hi_o, jnp.uint32)[:n]
+    keys_out = (hi_u.astype(jnp.uint64) << jnp.uint64(32)) | \
+        lo_u.astype(jnp.uint64)
+    return keys_out, vo[:n]
 
 
 def sort_u64_keys(keys_u64: jnp.ndarray, radix: int = 16,

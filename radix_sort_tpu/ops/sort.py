@@ -131,7 +131,8 @@ def _pallas_stream_engine(keys_u, payloads, n):
     TPU-native reorder (lane gathers + one-hot MXU row-combines +
     carry-chained row DMAs), stable by construction.  Covers 32-bit keys
     (key-only and one 32-bit payload plane) and 64-bit keys (as lo/hi
-    planes); remaining shapes fall back to xla_sort.  Bit-exact on v5e
+    planes, key-only and one 32-bit payload plane); remaining shapes
+    fall back to xla_sort.  Bit-exact on v5e
     across all reference distributions; see docs/DESIGN.md §2.2c for the
     measured performance frontier analysis."""
     from . import pallas_stream
@@ -147,6 +148,12 @@ def _pallas_stream_engine(keys_u, payloads, n):
         return ko, (jax.lax.bitcast_convert_type(po, p.dtype),)
     if bits == 64 and not payloads:
         return pallas_stream.sort_u64_keys(keys_u), ()
+    if (bits == 64 and len(payloads) == 1
+            and np.dtype(payloads[0].dtype).itemsize == 4):
+        p = payloads[0]
+        ko, po = pallas_stream.sort_u64_kv(
+            keys_u, jax.lax.bitcast_convert_type(p, jnp.int32))
+        return ko, (jax.lax.bitcast_convert_type(po, p.dtype),)
     return _xla_sort_engine(keys_u, payloads, n)
 
 

@@ -62,14 +62,16 @@ def config1():
     from radix_sort_tpu.datasets import RandomDistributed
 
     n = 1 << 20
+    eng = os.environ.get("RST_ENGINE")  # e.g. pallas_stream; None = auto
     data = RandomDistributed(np.uint32, seed=0).generate(n)
     keys = jax.device_put(jnp.asarray(data))
-    secs = timed(lambda k: sort(k), keys)
-    out = np.asarray(jax.jit(lambda k: sort(k))(keys))
+    secs = timed(lambda k: sort(k, engine=eng), keys)
+    out = np.asarray(jax.jit(lambda k: sort(k, engine=eng))(keys))
     ok = golden.validate_bit_exact(out, golden.cpu_radix_sort(data), n) and \
         golden.validate_bit_exact(out, golden.oracle_sort(data), n)
     record("config1_u32_keyonly_1M_uniform",
-           mkeys_per_s=round(n / secs / 1e6, 1), valid=bool(ok))
+           mkeys_per_s=round(n / secs / 1e6, 1), valid=bool(ok),
+           engine=eng or "auto")
 
 
 def config2():
@@ -88,10 +90,11 @@ def config2():
         vd = jax.device_put(jnp.asarray(vals))
         # jit once per dtype; reuse across the four distributions (remote
         # compiles are minutes each).
-        step = lambda k: sort_kv(k, vd)[0]  # noqa: E731
+        eng = os.environ.get("RST_ENGINE")
+        step = lambda k: sort_kv(k, vd, engine=eng)[0]  # noqa: E731
         chained = jax.jit(lambda a, r: jax.lax.fori_loop(
             0, r, lambda _, v: step(v), a))
-        full = jax.jit(lambda k, v: sort_kv(k, v))
+        full = jax.jit(lambda k, v: sort_kv(k, v, engine=eng))
         reps = 64  # same noise-floor rationale as timed()
         r1, rR = jnp.int32(1), jnp.int32(reps)
 
@@ -116,7 +119,8 @@ def config2():
             ok = np.array_equal(np.asarray(k_out), data[perm]) and \
                 np.array_equal(np.asarray(v_out), vals[perm])
             record(f"config2_kv_{dname}_{ds.name}",
-                   mpairs_per_s=round(n / secs / 1e6, 1), valid=bool(ok))
+                   mpairs_per_s=round(n / secs / 1e6, 1), valid=bool(ok),
+                   engine=eng or "auto")
 
 
 def config3():

@@ -243,13 +243,25 @@ def main():
                 # pipeline (hist, hist+scan, hist+scan+reorder) for one pass
                 # and scale by the pass count; differences give each stage.
                 t_h = t_s = t_r = 0.0
+                # 64-bit keys run 2x the passes of the SAME int32-digit
+                # kernels, but the axon compile helper crashes on 64-bit
+                # diagnostic chains at every size — time the phase split
+                # on the low 32-bit word (per-pass work is key-width
+                # independent) and scale by the 64-bit pass count.
+                if phase_chains is not None and np.dtype(dt).itemsize == 8:
+                    # bitcast first: i64 & u64 hits a promotion error
+                    phase_keys = (jax.lax.bitcast_convert_type(
+                        keys, jnp.uint64)
+                        & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+                else:
+                    phase_keys = keys
                 if phase_chains is not None:
                     try:
                         for ch in phase_chains:
-                            sync(ch(keys, jnp.int32(1)))
+                            sync(ch(phase_keys, jnp.int32(1)))
                     except Exception:  # noqa: BLE001
-                        # same scoped-vmem compile bug as the main chain;
-                        # leave the per-kernel columns at 0 for this combo.
+                        # scoped-vmem / compile-helper bugs: leave the
+                        # per-kernel columns at 0 for this combo.
                         print(f"# phase-chain compile failed at n=2^{logn} "
                               f"{dname}; per-kernel columns stay 0",
                               flush=True)
@@ -257,15 +269,15 @@ def main():
                 if phase_chains is not None:
                     cum = []
                     for ch in phase_chains:
-                        sync(ch(keys, jnp.int32(1)))
-                        sync(ch(keys, jnp.int32(reps)))
+                        sync(ch(phase_keys, jnp.int32(1)))
+                        sync(ch(phase_keys, jnp.int32(reps)))
                         ta = tb = 1e9
                         for _ in range(2):
                             t0 = time.perf_counter()
-                            sync(ch(keys, jnp.int32(1)))
+                            sync(ch(phase_keys, jnp.int32(1)))
                             ta = min(ta, time.perf_counter() - t0)
                             t0 = time.perf_counter()
-                            sync(ch(keys, jnp.int32(reps)))
+                            sync(ch(phase_keys, jnp.int32(reps)))
                             tb = min(tb, time.perf_counter() - t0)
                         cum.append(max((tb - ta) / (reps - 1), 0.0))
                     t_h = cum[0] * passes * 1e3

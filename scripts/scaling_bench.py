@@ -9,6 +9,10 @@ RST_FORCE_CPU_MESH=1 to exercise the harness on the simulated CPU mesh
 not meaningful for the roofline story).
 
   RST_FORCE_CPU_MESH=1 python scripts/scaling_bench.py --rows-per-dev 16384
+
+Use ``--device-count 64 --mesh-sizes 64`` (with RST_FORCE_CPU_MESH=1) to
+check that the distributed layer traces + validates well past toy meshes
+(the tie-spreading and send-pack are O(1) trace size in D).
 """
 
 import argparse
@@ -26,6 +30,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows-per-dev", type=int, default=1 << 14)
     ap.add_argument("--mesh-sizes", default="")
+    ap.add_argument("--device-count", type=int, default=8,
+                    help="virtual CPU device count under RST_FORCE_CPU_MESH")
     args = ap.parse_args()
 
     import jax
@@ -34,7 +40,8 @@ def main():
         os.environ.setdefault(
             "XLA_FLAGS",
             (os.environ.get("XLA_FLAGS", "")
-             + " --xla_force_host_platform_device_count=8").strip())
+             + f" --xla_force_host_platform_device_count="
+               f"{args.device_count}").strip())
         jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp

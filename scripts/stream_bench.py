@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--dist", default="uniform",
                     choices=["uniform", "zeros", "skewed", "range", "all"])
     ap.add_argument("--mode", default="keys",
-                    choices=["keys", "kv", "u64"])
+                    choices=["keys", "kv", "u64", "u64kv"])
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--validate-logn", type=int, default=20)
     args = ap.parse_args()
@@ -64,6 +64,15 @@ def main():
         def sort_fn(k64):
             return ps.sort_u64_keys(k64, radix=args.radix,
                                     rows=args.rows)
+    elif args.mode == "u64kv":
+        import jax as _j
+        _j.config.update("jax_enable_x64", True)
+
+        def sort_fn(k64):
+            ko, vo = ps.sort_u64_kv(
+                k64, jnp.arange(k64.shape[0], dtype=jnp.int32),
+                radix=args.radix, rows=args.rows)
+            return ko + vo.astype(jnp.uint64) * jnp.uint64(0)
     else:
         sort_fn = lambda k: ps.sort_u32_keys(  # noqa: E731
             k, radix=args.radix, rows=args.rows)
@@ -77,10 +86,22 @@ def main():
     keys = None
     for dist in dists:
         keys = gen(n, dist)
-        if args.mode == "u64":
+        if args.mode in ("u64", "u64kv"):
             keys = (keys.astype(jnp.uint64) << jnp.uint64(32)) | \
                 jax.random.bits(jax.random.key(7), (n,),
                                 dtype=jnp.uint32).astype(jnp.uint64)
+        if args.mode == "u64kv":
+            kh = np.asarray(keys)
+            ko, vo = jax.jit(lambda k: ps.sort_u64_kv(
+                k, jnp.arange(n, dtype=jnp.int32), radix=args.radix,
+                rows=args.rows))(keys)
+            order = np.argsort(kh, kind="stable")
+            okk = np.array_equal(np.asarray(ko), kh[order])
+            okv = np.array_equal(np.asarray(vo), order.astype(np.int32))
+            print(f"validate 2^{args.logn} {dist} u64kv: keys={okk} "
+                  f"stable-perm={okv}", flush=True)
+            if not (okk and okv):
+                return
         if args.mode == "kv":
             kh = np.asarray(keys)
             ko, vo = jax.jit(lambda k: ps.sort_u32_kv(

@@ -87,14 +87,23 @@ def test_tile_dispatch_places_all_elements(radix):
 
 
 def test_sort_engine_dispatch_pallas_stream():
-    """The engine is reachable through the public sort API (interpret mode
-    on CPU; tiny size keeps the TPU-model interpreter fast)."""
+    """engine="pallas_stream" through the public sort API routes to the
+    streaming kernels: the traced program contains pallas_calls (8 passes)
+    while the xla_sort engine's trace contains none.  Tracing only — an
+    interpret-mode EXECUTION of the 8-pass engine costs minutes of
+    XLA:CPU compile and is covered by the gated test below + hardware
+    validation (scripts/stream_bench.py)."""
     from radix_sort_tpu.ops import sort as sort_ops
 
-    rng = np.random.default_rng(11)
-    keys = rng.integers(0, 2**32, 2048, dtype=np.uint32)
-    out = sort_ops.sort(jnp.asarray(keys), engine="pallas_stream")
-    np.testing.assert_array_equal(np.asarray(out), np.sort(keys))
+    keys = jax.ShapeDtypeStruct((2048,), jnp.uint32)
+
+    def prims(engine):
+        jaxpr = jax.make_jaxpr(
+            lambda k: sort_ops.sort(k, engine=engine))(keys)
+        return repr(jaxpr)
+
+    assert "pallas_call" in prims("pallas_stream")
+    assert "pallas_call" not in prims("xla_sort")
 
 
 def test_sort_engine_pallas_stream_fallback_multi_payload():
@@ -118,6 +127,19 @@ def test_sort_engine_pallas_stream_fallback_multi_payload():
 import os as _os
 
 _SLOW = bool(_os.environ.get("RST_SLOW_TESTS"))
+
+
+@pytest.mark.skipif(not _SLOW, reason="8-pass interpret run costs ~4 min; "
+                    "set RST_SLOW_TESTS=1 (hardware validation covers it "
+                    "otherwise)")
+def test_sort_engine_dispatch_pallas_stream_full_range():
+    """Full-width keys through the public API: every pass executes."""
+    from radix_sort_tpu.ops import sort as sort_ops
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 2**32, 2048, dtype=np.uint32)
+    out = sort_ops.sort(jnp.asarray(keys), engine="pallas_stream")
+    np.testing.assert_array_equal(np.asarray(out), np.sort(keys))
 
 
 def test_stream_kv_single_pass_oracle():
@@ -179,3 +201,21 @@ def test_stream_u64_tiny():
     keys = rng.integers(0, 2**63, 1024).astype(np.uint64)
     out = np.asarray(ps.sort_u64_keys(jnp.asarray(keys)))
     np.testing.assert_array_equal(out, np.sort(keys))
+
+
+@pytest.mark.skipif(not _SLOW, reason="multi-pass interpret runs cost "
+                    "minutes; set RST_SLOW_TESTS=1 (hardware validation "
+                    "covers these paths otherwise)")
+def test_stream_u64_kv_stable_tiny():
+    from radix_sort_tpu.ops import pallas_stream as ps
+
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    rng = np.random.default_rng(15)
+    keys = rng.integers(0, 8, 1024).astype(np.uint64)  # heavy ties
+    keys |= keys << np.uint64(32)
+    vals = np.arange(1024, dtype=np.int32)
+    k, v = ps.sort_u64_kv(jnp.asarray(keys), jnp.asarray(vals))
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
