@@ -192,92 +192,6 @@ def row_partition(d, radix):
     return idx, counts, rowstart
 
 
-def _tiers(rows, slot_rows):
-    """Ascending static slot-height tiers for the dispatch matmul."""
-    ts = []
-    t = max(8, rows // 16 + 2)
-    while t < slot_rows:
-        ts.append(t)
-        t *= 4
-    ts.append(slot_rows)
-    return ts
-
-
-# ------------------------------------------------------------ tile staging
-
-def _bucket_slots(parteds, counts, col_prefix, rowstart, b, fill,
-                  slot_rows):
-    """Staged contributions of one bucket for every value plane.
-
-    parteds: tuple of (rows, 128) per-row partitioned planes (keys first;
-    payload planes follow the identical permutation).  Returns one
-    (slot_rows, 128) buffer per plane, the bucket's elements placed
-    row-major from element offset ``fill`` (traced scalar), zeros
-    elsewhere.  ONE fused MXU matmul does the cross-row combine for all
-    planes: lo/wrap parts stacked along the contracting dim, 8-bit byte
-    planes stacked along lanes (bytes are bf16-exact; 16-bit halves are
-    NOT — the MXU default single-pass bf16 rounds them, verified on v5e
-    by scripts/stream_debug_hw.py).
-    """
-    rows = parteds[0].shape[0]
-    NP = len(parteds)
-    li = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-
-    # all per-row quantities kept (rows, 1) 2-D — 1-D vectors and
-    # transposes are Mosaic relayout traps.
-    F = fill + col_prefix[:, b:b + 1]                  # (rows, 1)
-    c = counts[:, b:b + 1]
-    start = rowstart[:, b:b + 1]
-    phase = _mod_lanes(F)
-    k = _mod_lanes(li - phase)                         # in-run index
-    # start + k < 128 whenever k < c (the run fits its row); masked-out
-    # lanes only need an in-bounds index, so a lane-wrap replaces clip.
-    srcidx = _mod_lanes(k + start)
-    valid = k < c
-    wrapped = jnp.logical_and(li < phase, valid)
-    m_low = jnp.logical_and(valid, jnp.logical_not(wrapped))
-
-    srow = _div_lanes(F)                               # (rows, 1)
-    sidx = jax.lax.broadcasted_iota(jnp.int32, (rows, slot_rows), 1)
-    aT_lo = (srow == sidx).astype(jnp.float32)         # (rows, S)
-    aT_hi = (srow + 1 == sidx).astype(jnp.float32)
-    aT_cat = jnp.concatenate([aT_lo, aT_hi], axis=0)   # (2*rows, S)
-
-    def bytes4(part):
-        return jnp.concatenate(
-            [((part if s == 0
-               else jax.lax.shift_right_logical(part, jnp.int32(s)))
-              & 0xFF).astype(jnp.float32) for s in (0, 8, 16, 24)],
-            axis=1)
-
-    lows, highs = [], []
-    for p in parteds:
-        rot = _take1(p, srcidx)
-        lows.append(bytes4(jnp.where(m_low, rot, jnp.int32(0))))
-        highs.append(bytes4(jnp.where(wrapped, rot, jnp.int32(0))))
-    rhs = jnp.concatenate(
-        [jnp.concatenate(lows, axis=1), jnp.concatenate(highs, axis=1)],
-        axis=0)                                        # (2*rows, NP*512)
-    g = jax.lax.dot_general(aT_cat, rhs, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    gi = g.astype(jnp.int32)                           # (S, NP*512)
-    outs = []
-    for p in range(NP):
-        o = p * 4 * LANES
-        outs.append(gi[:, o:o + LANES]
-                    | (gi[:, o + LANES:o + 2 * LANES] << 8)
-                    | (gi[:, o + 2 * LANES:o + 3 * LANES] << 16)
-                    | (gi[:, o + 3 * LANES:o + 4 * LANES] << 24))
-    return outs
-
-
-def _bucket_slot(parted, counts, col_prefix, rowstart, b, fill,
-                 slot_rows):
-    """Single-plane convenience wrapper over :func:`_bucket_slots`."""
-    return _bucket_slots((parted,), counts, col_prefix, rowstart, b,
-                         fill, slot_rows)[0]
-
-
 def tile_dispatch(parted, d_parted, counts, rowstart, fills, radix,
                   stage_rows):
     """Cross-row combine of one partitioned tile into bucket-major staging.

@@ -69,7 +69,9 @@ def config1():
     out = np.asarray(jax.jit(lambda k: sort(k, engine=eng))(keys))
     ok = golden.validate_bit_exact(out, golden.cpu_radix_sort(data), n) and \
         golden.validate_bit_exact(out, golden.oracle_sort(data), n)
-    record("config1_u32_keyonly_1M_uniform",
+    # non-default engines record under a suffixed name so they never
+    # clobber the production (auto) rows
+    record("config1_u32_keyonly_1M_uniform" + (f"_{eng}" if eng else ""),
            mkeys_per_s=round(n / secs / 1e6, 1), valid=bool(ok),
            engine=eng or "auto")
 
@@ -118,7 +120,8 @@ def config2():
             perm = golden.oracle_argsort(data)
             ok = np.array_equal(np.asarray(k_out), data[perm]) and \
                 np.array_equal(np.asarray(v_out), vals[perm])
-            record(f"config2_kv_{dname}_{ds.name}",
+            record(f"config2_kv_{dname}_{ds.name}"
+                   + (f"_{eng}" if eng else ""),
                    mpairs_per_s=round(n / secs / 1e6, 1), valid=bool(ok),
                    engine=eng or "auto")
 

@@ -259,11 +259,12 @@ def main():
                     try:
                         for ch in phase_chains:
                             sync(ch(phase_keys, jnp.int32(1)))
-                    except Exception:  # noqa: BLE001
+                    except Exception as e:  # noqa: BLE001
                         # scoped-vmem / compile-helper bugs: leave the
                         # per-kernel columns at 0 for this combo.
                         print(f"# phase-chain compile failed at n=2^{logn} "
-                              f"{dname}; per-kernel columns stay 0",
+                              f"{dname}; per-kernel columns stay 0 "
+                              f"({type(e).__name__}: {str(e)[:200]})",
                               flush=True)
                         phase_chains = None
                 if phase_chains is not None:
