@@ -122,8 +122,8 @@ class SortTask:
             d = (k & mask).astype(jnp.int32).reshape(B, M)
             counts = ranking.block_digit_counts(d, cfg.radix)
             total = counts.sum(axis=0)
-            base = (jnp.cumsum(total) - total)[None, :] + (
-                jnp.cumsum(counts, axis=0) - counts)
+            base = (ranking._cumsum(total, 0) - total)[None, :] + (
+                ranking._cumsum(counts, 0) - counts)
             return k + base[0, 0].astype(k.dtype)
 
         def reorder(k):

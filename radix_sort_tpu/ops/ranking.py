@@ -24,6 +24,16 @@ import jax
 import jax.numpy as jnp
 
 
+def _cumsum(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Inclusive cumsum via ``lax.associative_scan``.  ``jnp.cumsum`` lowers
+    to an XLA reduce-window that trips a size-specific scoped-vmem compiler
+    bug under jax_enable_x64 on v5e ("should not be possible to run out of
+    scoped vmem — please file a bug against XLA"; probe:
+    scripts/u64_chain_probe.py) — the log-depth scan form compiles at every
+    probed size."""
+    return jax.lax.associative_scan(jnp.add, x, axis=axis)
+
+
 def block_digit_counts(digits: jnp.ndarray, radix: int) -> jnp.ndarray:
     """Per-block digit histogram: (B, M) int32 digits → (B, R) int32 counts.
 
@@ -38,7 +48,7 @@ def _block_rank_body(db: jnp.ndarray, radix: int):
     """Within one block: counts (R,) and exclusive within-bucket rank (M,)."""
     iota = jnp.arange(radix, dtype=db.dtype)
     oh = (db[:, None] == iota).astype(jnp.int32)          # (M, R)
-    incl = jnp.cumsum(oh, axis=0)                          # (M, R)
+    incl = _cumsum(oh, axis=0)                             # (M, R)
     wr = jnp.take_along_axis(incl - oh, db[:, None].astype(jnp.int32),
                              axis=1)[:, 0]
     return incl[-1], wr
@@ -69,8 +79,8 @@ def stable_dest(digits: jnp.ndarray, radix: int,
     # Exclusive scan, digit-major then block — the stability-preserving
     # layout (RadixSort.cl:69): all digit-r elements of earlier blocks
     # precede digit-r elements of this block.
-    global_base = jnp.cumsum(total) - total                # (R,)
-    block_prefix = jnp.cumsum(counts, axis=0) - counts     # (B, R)
+    global_base = _cumsum(total, axis=0) - total           # (R,)
+    block_prefix = _cumsum(counts, axis=0) - counts        # (B, R)
     base = global_base[None, :] + block_prefix             # (B, R)
     dest = jnp.take_along_axis(base, digits, axis=1) + wr  # (B, M)
     return dest, counts, total

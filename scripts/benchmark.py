@@ -185,8 +185,10 @@ def main():
                     _, d = _prep(k)
                     c = ranking.block_digit_counts(d, cfg.radix)
                     total = c.sum(axis=0)
-                    base = (jnp.cumsum(total) - total)[None, :] + (
-                        jnp.cumsum(c, axis=0) - c)
+                    # ranking._cumsum, not jnp.cumsum: reduce-window trips
+                    # the scoped-vmem compiler bug under jax_enable_x64
+                    base = (ranking._cumsum(total, 0) - total)[None, :] + (
+                        ranking._cumsum(c, 0) - c)
                     return k + base[0, 0].astype(k.dtype)
 
                 def ph_reorder(k):
