@@ -101,6 +101,16 @@ def main():
 
     cfg = SortConfig(engine=args.engine)
     rows = []
+    # incremental CSV: long sweeps (hours with phases + CPU baselines) must
+    # not lose every finished row to a timeout/crash at the tail
+    csv_path = None
+    if args.perf_to_csv:
+        os.makedirs(args.csv_dir, exist_ok=True)
+        csv_path = csvio.timestamped_path(args.csv_dir)
+
+    def checkpoint_csv():
+        if csv_path is not None and rows:
+            csvio.write_csv(rows, path=csv_path)
     for logn in range(args.max_log2, args.min_log2 - 1, -args.step):
         n = 1 << logn
         for dname in dtype_names:
@@ -340,11 +350,11 @@ def main():
                       f"{mkeys:9.1f} Mkeys/s roof={roof:5.1%}{flag}",
                       flush=True)
                 assert valid, f"validation failed: {dname} {ds_name} n={n}"
+                checkpoint_csv()
 
     if args.perf_to_csv:
-        os.makedirs(args.csv_dir, exist_ok=True)
-        path = csvio.write_csv(rows, directory=args.csv_dir)
-        print(f"# wrote {path}")
+        checkpoint_csv()
+        print(f"# wrote {csv_path}")
     if args.perf_to_stdout:
         csvio.write_rows(rows, sys.stdout)
 
