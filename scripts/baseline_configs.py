@@ -257,6 +257,16 @@ def config5():
 def main():
     import jax
 
+    if os.environ.get("RST_FORCE_CPU_MESH"):
+        # actually switch to the simulated mesh (the env var alone changes
+        # nothing): host-device-count must land before backend init, and
+        # the platform must be set via jax.config (site-hooked backends
+        # ignore JAX_PLATFORMS — CLAUDE.md)
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device"
+                                     "_count=8").strip()
+        jax.config.update("jax_platforms", "cpu")
+
     print(f"# backend={jax.default_backend()} devices={len(jax.devices())}",
           flush=True)
     which = sys.argv[1:] or ["1", "2", "3", "4", "5"]
