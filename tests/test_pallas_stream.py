@@ -4,10 +4,14 @@ on CPU."""
 
 import jax
 import jax.numpy as jnp
+import os as _os
+
 import numpy as np
 import pytest
 
 from radix_sort_tpu.ops import pallas_stream as ps
+
+_SLOW = bool(_os.environ.get("RST_SLOW_TESTS"))
 
 
 def _np_row_partition(d):
@@ -106,6 +110,25 @@ def test_sort_engine_dispatch_pallas_stream():
     assert "pallas_call" not in prims("xla_sort")
 
 
+@pytest.mark.skipif(not _SLOW,
+                    reason="tracing 16 unrolled passes costs ~2.5 min; "
+                    "set RST_SLOW_TESTS=1 (hardware validation covers the "
+                    "path otherwise)")
+def test_sort_engine_dispatch_pallas_stream_u64_kv():
+    """64-bit KV shapes route to the streaming kernels too (16 passes, lo/hi
+    planes + payload plane).  Tracing only, same rationale as above."""
+    from radix_sort_tpu.ops import sort as sort_ops
+
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    keys = jax.ShapeDtypeStruct((2048,), jnp.uint64)
+    vals = jax.ShapeDtypeStruct((2048,), jnp.int32)
+    jaxpr = jax.make_jaxpr(
+        lambda k, v: sort_ops.sort_kv(k, v, engine="pallas_stream"))(
+            keys, vals)
+    assert "pallas_call" in repr(jaxpr)
+
+
 def test_sort_engine_pallas_stream_fallback_multi_payload():
     """Shapes the stream engine does not cover (here: two payload columns)
     fall back to xla_sort — the correctness contract holds regardless."""
@@ -122,11 +145,6 @@ def test_sort_engine_pallas_stream_fallback_multi_payload():
     np.testing.assert_array_equal(np.asarray(k), keys[order])
     np.testing.assert_array_equal(np.asarray(vd["a"]), vals[order])
     np.testing.assert_array_equal(np.asarray(vd["b"]), vals[order] * 2)
-
-
-import os as _os
-
-_SLOW = bool(_os.environ.get("RST_SLOW_TESTS"))
 
 
 @pytest.mark.skipif(not _SLOW, reason="8-pass interpret run costs ~4 min; "
