@@ -31,12 +31,7 @@ import numpy as np
 from .. import dtypes
 from ..config import SortConfig, DEFAULT_CONFIG
 from ..table import Table
-from . import partition, sort as sort_ops
-
-
-def _searchsorted_left(sorted_u: jnp.ndarray, queries_u: jnp.ndarray):
-    """Vectorized lower-bound on TPU-friendly compare-based method."""
-    return jnp.searchsorted(sorted_u, queries_u, side="left", method="sort")
+from . import sort as sort_ops
 
 
 def _biased_with_sentinel(table: Table, key: str):

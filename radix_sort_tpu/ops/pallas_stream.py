@@ -143,10 +143,11 @@ def _row_counts(d, radix):
     CH = min(8, rows)
     outs = []
     for r0 in range(0, rows, CH):
-        chunk = jnp.reshape(d[r0:r0 + CH, :], (CH, LANES, 1))
-        oh = (chunk == iota).astype(jnp.int32)            # (CH, 128, R)
+        dd = d[r0:r0 + CH, :]                             # short tail ok
+        chunk = jnp.reshape(dd, (dd.shape[0], LANES, 1))
+        oh = (chunk == iota).astype(jnp.int32)            # (ch, 128, R)
         outs.append(jnp.sum(oh, axis=1, dtype=jnp.int32,
-                                promote_integers=False))  # (CH, R)
+                                promote_integers=False))  # (ch, R)
     return jnp.concatenate(outs, axis=0)
 
 
@@ -172,7 +173,8 @@ def _row_partition_indices(d, rank, counts, radix):
     outs = []
     for r0 in range(0, rows, CH):                         # VMEM chunking
         # explicit reshape (slice+None indexing lowers to a Mosaic gather)
-        chunk = jnp.reshape(dst[r0:r0 + CH, :], (CH, 1, LANES))
+        dd = dst[r0:r0 + CH, :]                           # short tail ok
+        chunk = jnp.reshape(dd, (dd.shape[0], 1, LANES))
         oh = (chunk == kk).astype(jnp.int32)
         outs.append(jnp.sum(oh * lane, axis=2, dtype=jnp.int32,
                                 promote_integers=False))
@@ -267,7 +269,7 @@ def tile_dispatch(parted, d_parted, counts, rowstart, fills, radix,
 # ---------------------------------------------------------- the pass kernel
 
 def _pass_kernel(sh_ref, base_ref, cnt_ref, *refs, radix, rows, nbits,
-                 nplanes, ablate=0):
+                 nplanes):
     """One radix pass over ``nplanes`` value planes (keys = plane 0 drives
     the digits; payload planes ride the identical permutation), one tile
     per sequential grid step.
@@ -631,7 +633,9 @@ def sort_u32_keys(keys_u32: jnp.ndarray, radix: int = 16,
     XLA boundary fixup; degenerate passes are skipped.
     """
     n = keys_u32.shape[0]
-    rows = max(8, min(rows, -(-n // LANES)))
+    # multiple of 8: the histogram/scan kernels tile (8, 128) sublane
+    # blocks, so the grid-step height must be sublane-aligned
+    rows = -(-max(8, min(rows, -(-n // LANES))) // 8) * 8
     planes, padded = _pad_planes((keys_u32,), (jnp.uint32(0xFFFFFFFF),),
                                  rows * LANES)
     bits_per = int(np.log2(radix))
@@ -646,7 +650,9 @@ def sort_u32_kv(keys_u32: jnp.ndarray, values_i32: jnp.ndarray,
     through every pass (the capability the reference stubbed out —
     PERMUT, src/RadixSortGPU.cpp:578)."""
     n = keys_u32.shape[0]
-    rows = max(8, min(rows, -(-n // LANES)))
+    # multiple of 8: the histogram/scan kernels tile (8, 128) sublane
+    # blocks, so the grid-step height must be sublane-aligned
+    rows = -(-max(8, min(rows, -(-n // LANES))) // 8) * 8
     planes, padded = _pad_planes(
         (keys_u32, values_i32), (jnp.uint32(0xFFFFFFFF),
                                  jnp.int32(0)), rows * LANES)
@@ -662,7 +668,9 @@ def sort_u64_kv(keys_u64: jnp.ndarray, values_i32: jnp.ndarray,
     ride the same per-pass permutation (BASELINE config2's u64 KV shape on
     the streaming engine)."""
     n = keys_u64.shape[0]
-    rows = max(8, min(rows, -(-n // LANES)))
+    # multiple of 8: the histogram/scan kernels tile (8, 128) sublane
+    # blocks, so the grid-step height must be sublane-aligned
+    rows = -(-max(8, min(rows, -(-n // LANES))) // 8) * 8
     lo = (keys_u64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     hi = jax.lax.shift_right_logical(
         keys_u64, jnp.uint64(32)).astype(jnp.uint32)
@@ -688,7 +696,9 @@ def sort_u64_keys(keys_u64: jnp.ndarray, radix: int = 16,
     high-word passes (LSD order), both planes permuted together — no
     64-bit vector ops ever reach Mosaic."""
     n = keys_u64.shape[0]
-    rows = max(8, min(rows, -(-n // LANES)))
+    # multiple of 8: the histogram/scan kernels tile (8, 128) sublane
+    # blocks, so the grid-step height must be sublane-aligned
+    rows = -(-max(8, min(rows, -(-n // LANES))) // 8) * 8
     lo = (keys_u64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     hi = jax.lax.shift_right_logical(
         keys_u64, jnp.uint64(32)).astype(jnp.uint32)

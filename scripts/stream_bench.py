@@ -78,9 +78,19 @@ def main():
             k, radix=args.radix, rows=args.rows)
     sort_fn = jax.jit(sort_fn)
 
-    # ---- validate at the TARGET size (one compile total per process —
-    # each size is a separate multi-minute remote compile, so --dist all
-    # reuses it across distributions)
+    # ---- validate at the TARGET size.  ONE jit per mode hoisted out of
+    # the distribution loop: each fresh lambda is a separate jit cache
+    # entry = a separate multi-minute remote compile (CLAUDE.md).
+    kv_val_fn = None
+    if args.mode == "u64kv":
+        kv_val_fn = jax.jit(lambda k: ps.sort_u64_kv(
+            k, jnp.arange(n, dtype=jnp.int32), radix=args.radix,
+            rows=args.rows))
+    elif args.mode == "kv":
+        kv_val_fn = jax.jit(lambda k: ps.sort_u32_kv(
+            k, jnp.arange(n, dtype=jnp.int32), radix=args.radix,
+            rows=args.rows))
+
     dists = (["uniform", "zeros", "skewed", "range"]
              if args.dist == "all" else [args.dist])
     keys = None
@@ -90,27 +100,13 @@ def main():
             keys = (keys.astype(jnp.uint64) << jnp.uint64(32)) | \
                 jax.random.bits(jax.random.key(7), (n,),
                                 dtype=jnp.uint32).astype(jnp.uint64)
-        if args.mode == "u64kv":
+        if kv_val_fn is not None:
             kh = np.asarray(keys)
-            ko, vo = jax.jit(lambda k: ps.sort_u64_kv(
-                k, jnp.arange(n, dtype=jnp.int32), radix=args.radix,
-                rows=args.rows))(keys)
+            ko, vo = kv_val_fn(keys)
             order = np.argsort(kh, kind="stable")
             okk = np.array_equal(np.asarray(ko), kh[order])
             okv = np.array_equal(np.asarray(vo), order.astype(np.int32))
-            print(f"validate 2^{args.logn} {dist} u64kv: keys={okk} "
-                  f"stable-perm={okv}", flush=True)
-            if not (okk and okv):
-                return
-        if args.mode == "kv":
-            kh = np.asarray(keys)
-            ko, vo = jax.jit(lambda k: ps.sort_u32_kv(
-                k, jnp.arange(n, dtype=jnp.int32), radix=args.radix,
-                rows=args.rows))(keys)
-            order = np.argsort(kh, kind="stable")
-            okk = np.array_equal(np.asarray(ko), kh[order])
-            okv = np.array_equal(np.asarray(vo), order.astype(np.int32))
-            print(f"validate 2^{args.logn} {dist} kv: keys={okk} "
+            print(f"validate 2^{args.logn} {dist} {args.mode}: keys={okk} "
                   f"stable-perm={okv}", flush=True)
             if not (okk and okv):
                 return
@@ -131,8 +127,6 @@ def main():
                   f"got={outh[bad[:3]].tolist()} "
                   f"exp={exp[bad[:3]].tolist()}")
             return
-    if args.mode == "kv":
-        return
 
     check_fn = jax.jit(lambda o, k: jnp.all(o[1:] >= o[:-1])
                        & (jnp.sum(o, dtype=jnp.uint64)

@@ -117,32 +117,6 @@ def t_partition():
         f"DIVERGES out[0,:8]={out[0, :8].tolist()} exp={exp[0, :8].tolist()}"
 
 
-def t_bucket_slot():
-    rng = np.random.default_rng(3)
-    R = 16
-    rows = 16
-    d = rng.integers(0, R, (rows, LANES)).astype(np.int32)
-    vals = rng.integers(0, 2**31, (rows, LANES)).astype(np.int32)
-    slot_rows = rows + 1
-
-    def k(d_ref, v_ref, o_ref):
-        dj = d_ref[...]
-        idx, counts, rowstart = ps.row_partition(dj, R)
-        parted = jnp.take_along_axis(v_ref[...], idx, axis=1)
-        col_prefix = ps._excl_cumsum(counts, 0)
-        o_ref[...] = ps._bucket_slot(parted, counts, col_prefix, rowstart,
-                                     3, jnp.int32(37), slot_rows)
-
-    out = np.asarray(run_kernel(
-        k, jax.ShapeDtypeStruct((slot_rows, LANES), jnp.int32),
-        jnp.asarray(d), jnp.asarray(vals))).reshape(-1)
-    sel = vals.reshape(-1)[(d.reshape(-1) == 3)]
-    exp = np.zeros(slot_rows * LANES, np.int32)
-    exp[37:37 + sel.size] = sel
-    return "PASS" if np.array_equal(out, exp) else \
-        f"DIVERGES nbad={int((out != exp).sum())}"
-
-
 TESTS = {
     "roll": t_roll,
     "cumsum1": t_cumsum,
@@ -150,7 +124,6 @@ TESTS = {
     "rank": t_rank,
     "counts": t_counts,
     "partition": t_partition,
-    "bucketslot": t_bucket_slot,
 }
 
 

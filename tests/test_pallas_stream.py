@@ -160,6 +160,34 @@ def test_sort_engine_dispatch_pallas_stream_full_range():
     np.testing.assert_array_equal(np.asarray(out), np.sort(keys))
 
 
+def test_row_partition_tail_chunk_rows():
+    """Tile heights that are not a multiple of the 8-row VMEM chunk must
+    still partition (regression: the tail chunk was reshaped with a static
+    CH and crashed at trace time for rows % 8 != 0, e.g. n = 1280)."""
+    rng = np.random.default_rng(7)
+    for rows in (10, 12):
+        d = rng.integers(0, 16, (rows, 128)).astype(np.int32)
+        idx, counts, _ = jax.jit(
+            lambda x: ps.row_partition(x, 16))(jnp.asarray(d))
+        np.testing.assert_array_equal(np.asarray(idx), _np_row_partition(d))
+        exp_counts = np.stack([np.sum(d == b, axis=1) for b in range(16)],
+                              axis=1)
+        np.testing.assert_array_equal(np.asarray(counts), exp_counts)
+
+
+@pytest.mark.skipif(not _SLOW, reason="8-pass interpret compile costs "
+                    "minutes; set RST_SLOW_TESTS=1")
+def test_stream_sort_non_sublane_multiple_n():
+    """n = 1280 gives ceil(n/128) = 10 rows — the driver must round the
+    tile height up to a sublane multiple (regression: rows=10 crashed at
+    trace time in the chunked helpers and would violate the histogram
+    kernel's (8, 128) tiling)."""
+    rng = np.random.default_rng(17)
+    keys = rng.integers(0, 16, 1280).astype(np.uint32)  # 7 passes skip
+    out = np.asarray(ps.sort_u32_keys(jnp.asarray(keys)))
+    np.testing.assert_array_equal(out, np.sort(keys))
+
+
 def test_stream_kv_single_pass_oracle():
     """One 2-plane streaming pass vs a stable counting-sort oracle (full
     multi-pass interpret runs cost minutes — the end-to-end KV/u64 paths
