@@ -59,10 +59,17 @@ def _hash_dest(keys, num_devices: int) -> jnp.ndarray:
     """Multiplicative (Fibonacci) hash of the biased key → destination chip.
     Equal keys map to equal chips — the partitioned-hash-join invariant."""
     u = dtypes.to_sortable_unsigned(keys)
-    mult = _GOLDEN64 if np.dtype(u.dtype).itemsize == 8 else _GOLDEN32
-    h = u * mult
-    bits = np.dtype(u.dtype).itemsize * 8
-    top = (h >> dtypes._np_scalar(np.dtype(u.dtype), bits - 16)).astype(
+    if np.dtype(u.dtype).itemsize == 8:
+        h = u * _GOLDEN64
+        bits = 64
+    else:
+        # widen u8/u16 keys first: `u16 * uint32` promotes to uint32, so a
+        # 16-bit shift would keep the product's LOW half and forfeit the
+        # high-bit avalanche multiplicative hashing depends on
+        u = u.astype(jnp.uint32)
+        h = u * _GOLDEN32
+        bits = 32
+    top = (h >> dtypes._np_scalar(np.dtype(h.dtype), bits - 16)).astype(
         jnp.uint32)
     return (top % np.uint32(num_devices)).astype(jnp.int32)
 
@@ -70,19 +77,18 @@ def _hash_dest(keys, num_devices: int) -> jnp.ndarray:
 def _shuffle_table(table_cols: Mapping, valid, key: str, D, axis, capacity):
     """Hash-shuffle rows; returns (cols dict, kept count, overflow)."""
     names = tuple(sorted(table_cols))
-    arrays = tuple(table_cols[n] for n in names) + (valid,)
+    arrays = tuple(table_cols[n] for n in names)
     dest = _hash_dest(table_cols[key], D)
-    # Padding rows carry no data but still occupy exchange slots; spread
-    # them round-robin so they cannot overflow any single (src, dst) pair.
-    n_local = valid.shape[0]
-    rr = jnp.arange(n_local, dtype=jnp.int32) % D
-    dest = jnp.where(valid, dest, rr)
-    fills = tuple(jnp.zeros((), a.dtype) for a in arrays[:-1]) + (False,)
+    # Padding rows are never shipped: drop_mask routes them to the virtual
+    # bucket (no packed slot, no dead wire traffic, no shipped validity
+    # column) — received rows are valid by construction, so slot validity
+    # alone (from recv_counts) identifies live rows.
+    fills = tuple(jnp.zeros((), a.dtype) for a in arrays)
     recv, recv_counts, overflow = exchange.ragged_all_to_all(
-        arrays, dest, D, capacity, axis, fills)
-    slot_ok = exchange.slot_valid_mask(D, capacity, recv_counts)
-    row_ok = jnp.logical_and(slot_ok, recv[-1])
-    compacted, kept = part_ops.compact_mask(row_ok, recv[:-1])
+        arrays, dest, D, capacity, axis, fills,
+        drop_mask=jnp.logical_not(valid))
+    row_ok = exchange.slot_valid_mask(D, capacity, recv_counts)
+    compacted, kept = part_ops.compact_mask(row_ok, recv)
     return dict(zip(names, compacted)), kept, overflow
 
 

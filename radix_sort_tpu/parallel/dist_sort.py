@@ -43,7 +43,11 @@ from . import exchange, mesh as mesh_lib
 
 # jitted shard functions cached per call geometry: repeated dist_sort calls
 # (sweeps, escalation retries) must not rebuild/recompile the XLA program.
+# Bounded FIFO: each entry pins a Mesh + XLA executables, and long-lived
+# sweep/notebook processes would otherwise grow it without limit.  Entries
+# store (mesh, jitted) so an id() recycled after eviction cannot hit.
 _SHARD_FN_CACHE: dict = {}
+_SHARD_FN_CACHE_MAX = 64
 
 
 def _strided_samples(x: jnp.ndarray, count: int) -> jnp.ndarray:
@@ -152,8 +156,17 @@ def _assign_destinations(chunk_u: jnp.ndarray, splitters: jnp.ndarray,
                                       filled[:, 2], filled[:, 3])
 
     grank = prev_f + rank_sorted
-    spread_sorted = lo_f + (grank * (width_f + 1)) // jnp.maximum(
-        total_f, 1)  # untied sentinel rows carry 0s; masked out below
+    # dest = lo + grank // ceil(total / W): capacity form of the even
+    # spread.  The product form grank * W wraps int32 once global tied
+    # count x interval width reaches 2^31 (e.g. 2^24 tied keys on a
+    # 256-interval mesh) and silently breaks destination monotonicity in
+    # grank — the stability contract.  The capacity form never multiplies:
+    # grank < total and cap >= total / W keep every term in int32, spread
+    # stays monotone in grank, and each destination takes at most cap.
+    w1 = width_f + 1
+    cap = jnp.maximum((total_f + w1 - 1) // jnp.maximum(w1, 1), 1)
+    spread_sorted = lo_f + grank // cap
+    # untied sentinel rows carry 0s; masked out below
 
     # Scatter the spreads back to original key order with a second sort
     # (sort-by-original-index == inverse permutation).
@@ -216,14 +229,21 @@ def _dist_sort_shard(chunk_u, payloads, *, D, axis, capacity, samples,
         # overlaps them.  Sub-chunks are ascending value ranges, so the
         # per-chunk sorted results CONCATENATE into the chip's sorted
         # run — no final merge.
+        #
+        # ONE (sub, dest)-major stable partition up front feeds all G
+        # exchanges (each sub-chunk's destinations are a contiguous
+        # bucket range); per-g drop_mask partitions would redo the full
+        # local sort G times — G× the dominant local data movement.
         sub = sidx % G
+        parted, cnts_all, starts_all = part_ops.stable_partition(
+            sub * D + dest, (chunk_u,) + tuple(payloads), D * G)
         parts = []
         part_counts = []
         overflow = jnp.zeros((), bool)
         for g in range(G):
-            (recv, rcounts, ovf) = exchange.ragged_all_to_all(
-                (chunk_u,) + tuple(payloads), dest, D, capacity, axis,
-                fills, drop_mask=sub != g)
+            (recv, rcounts, ovf) = exchange.packed_all_to_all(
+                parted, cnts_all[g * D:(g + 1) * D],
+                starts_all[g * D:(g + 1) * D], D, capacity, axis, fills)
             validg = exchange.slot_valid_mask(D, capacity, rcounts)
             ksg, psg = _local_sorted_valid_first(recv[0], recv[1:],
                                                  validg, config)
@@ -319,7 +339,8 @@ def dist_sort_kv(keys: jnp.ndarray, values: Any = None,
     for capacity in attempts:
         cache_key = (id(mesh), axis, D, capacity, samples, config,
                      per_dev, num_leaves, G)
-        jitted = _SHARD_FN_CACHE.get(cache_key)
+        hit = _SHARD_FN_CACHE.get(cache_key)
+        jitted = hit[1] if hit is not None and hit[0] is mesh else None
         if jitted is None:
             fn = functools.partial(
                 _dist_sort_shard, D=D, axis=axis, capacity=capacity,
@@ -332,7 +353,9 @@ def dist_sort_kv(keys: jnp.ndarray, values: Any = None,
                 out_specs=tuple([spec] * (1 + num_leaves)) + (P(),),
             )
             jitted = jax.jit(shard_fn)
-            _SHARD_FN_CACHE[cache_key] = jitted
+            while len(_SHARD_FN_CACHE) >= _SHARD_FN_CACHE_MAX:
+                _SHARD_FN_CACHE.pop(next(iter(_SHARD_FN_CACHE)))
+            _SHARD_FN_CACHE[cache_key] = (mesh, jitted)
         out = jitted(ku, leaves)
         ks, ps, overflow = out[0], out[1:-1], out[-1]
         if not bool(overflow > 0):

@@ -40,7 +40,7 @@ def ragged_all_to_all(arrays, dest: jnp.ndarray, num_devices: int,
       recv_counts: (D,) int32 valid rows per source slot.
       overflow: bool scalar (globally reduced) — some pair exceeded capacity.
     """
-    D, C = num_devices, capacity
+    D = num_devices
     # Rows with drop_mask=True are routed to a virtual bucket past the
     # last device and never packed — the overlapped shuffle
     # (dist_sort.py) exchanges one value-range sub-chunk at a time.
@@ -49,11 +49,22 @@ def ragged_all_to_all(arrays, dest: jnp.ndarray, num_devices: int,
         dest = jnp.where(drop_mask, jnp.int32(D), dest)
         nb = D + 1
     out, counts, starts = partition.stable_partition(dest, arrays, nb)
-    counts = counts[:D]
-    starts = starts[:D]
+    return packed_all_to_all(out, counts[:D], starts[:D], D, capacity,
+                             axis, fills)
+
+
+def packed_all_to_all(parted, counts, starts, num_devices: int,
+                      capacity: int, axis: str, fills):
+    """Exchange ALREADY-partitioned rows: destination d's rows sit at
+    ``parted[i][starts[d] : starts[d] + counts[d]]`` (any stable partition
+    with contiguous per-destination runs — possibly a slice view of a
+    larger multi-bucket partition, so one partition can feed several
+    exchanges, e.g. the overlapped shuffle's G sub-chunks).  Same return
+    contract as :func:`ragged_all_to_all`."""
+    D, C = num_devices, capacity
     overflow_local = jnp.any(counts > C)
 
-    # Pack: send[d, :] = partitioned[starts[d] : starts[d]+C], masked past
+    # Pack: send[d, :] = parted[starts[d] : starts[d]+C], masked past
     # counts[d].  One CONTIGUOUS dynamic slice per destination (vmapped →
     # an XLA gather with C-length slices), not a (D*C,)-element gather —
     # element gather runs at ~1.4 GB/s on this chip (docs/DESIGN.md §2.2)
@@ -62,7 +73,7 @@ def ragged_all_to_all(arrays, dest: jnp.ndarray, num_devices: int,
     in_slot = j < counts[:, None]                               # (D, C)
 
     send_bufs = []
-    for a, fill in zip(out, fills):
+    for a, fill in zip(parted, fills):
         # pad by C so starts[d]+C never clamps (dynamic_slice clamps OOB
         # starts, which would silently shift the valid rows).
         a_pad = jnp.concatenate(

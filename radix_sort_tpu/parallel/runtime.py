@@ -14,6 +14,24 @@ import functools
 import os
 import time
 
+# Environment markers that identify a multi-process deployment without
+# explicit arguments: JAX's own coordinator variable plus the MegaScale
+# launcher's.  Deliberately NOT TPU_WORKER_HOSTNAMES — single-chip dev
+# environments export it with a literal warning string ("WARNING: could
+# not determine TPU worker hostnames"), so its presence proves nothing.
+_MULTIHOST_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+
+def _env_coordinator() -> str | None:
+    for v in _MULTIHOST_ENV_VARS:
+        val = os.environ.get(v, "")
+        if val and " " not in val:  # junk markers carry warning prose
+            return val
+    return None
+
 
 @dataclasses.dataclass
 class RuntimeInfo:
@@ -29,15 +47,19 @@ def initialize(coordinator_address: str | None = None,
                process_id: int | None = None) -> RuntimeInfo:
     """Join (or skip, single-host) the distributed runtime.
 
-    On Cloud TPU pods all three arguments are auto-detected from the
-    metadata environment; pass them explicitly elsewhere.  Safe to call on
-    a single host: becomes a no-op describing the local topology.
+    Multi-process mode is entered when any argument is given explicitly OR
+    a launcher-exported coordinator address is present
+    (JAX_COORDINATOR_ADDRESS / MEGASCALE_COORDINATOR_ADDRESS — Cloud TPU
+    pod launchers set one of these, and `jax.distributed.initialize` then
+    auto-detects the remaining topology from the metadata environment).
+    Safe to call on a single host: becomes a no-op describing the local
+    topology.
     """
     import jax
 
     multi = (coordinator_address is not None
-             or os.environ.get("JAX_COORDINATOR_ADDRESS")
-             or num_processes not in (None, 1))
+             or num_processes not in (None, 1)
+             or _env_coordinator() is not None)
     if multi:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -49,9 +71,40 @@ def initialize(coordinator_address: str | None = None,
         num_processes=jax.process_count(),
         local_devices=len(jax.local_devices()),
         global_devices=len(jax.devices()),
-        coordinator=coordinator_address
-        or os.environ.get("JAX_COORDINATOR_ADDRESS"),
+        coordinator=coordinator_address or _env_coordinator(),
     )
+
+
+# mesh -> compiled heartbeat executable; reusing the compiled collective
+# keeps repeated health checks (the normal monitoring pattern) from paying
+# a jit compile per call — and keeps the compile OUT of the timed window.
+_HEARTBEAT_CACHE: dict = {}
+
+
+def _compiled_heartbeat(mesh):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = id(mesh)
+    hit = _HEARTBEAT_CACHE.get(key)
+    # the cached entry retains the mesh, so its id cannot be recycled
+    if hit is not None and hit[0] is mesh:
+        return hit[1]
+
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    def _heartbeat(t):
+        return jnp.reshape(jax.lax.psum(jnp.sum(t), axis), (1,))
+
+    arg = jax.ShapeDtypeStruct(
+        (D,), jnp.int32, sharding=NamedSharding(mesh, P(axis)))
+    compiled = jax.jit(_heartbeat).lower(arg).compile()
+    _HEARTBEAT_CACHE[key] = (mesh, compiled)
+    return compiled
 
 
 def health_check(mesh=None, timeout_s: float = 30.0) -> dict:
@@ -60,7 +113,12 @@ def health_check(mesh=None, timeout_s: float = 30.0) -> dict:
     reduction traverses ICI/DCN: a hung or dead host surfaces as a timeout
     or a wrong count here rather than a silent stall inside a later
     collective.  The psum runs in a daemon thread so ``timeout_s`` bounds
-    the wait even when a peer never shows up."""
+    the wait even when a peer never shows up.
+
+    The collective is AOT-compiled (and cached per mesh) BEFORE the timer
+    starts: remote-TPU compiles take minutes (CLAUDE.md), far beyond any
+    sane heartbeat timeout, and a compile must never read as a dead peer.
+    """
     import threading
 
     import jax
@@ -74,24 +132,19 @@ def health_check(mesh=None, timeout_s: float = 30.0) -> dict:
         mesh = mesh_lib.make_mesh()
     axis = mesh.axis_names[0]
     D = mesh.devices.size
-    t0 = time.time()
 
     # One token per device, sharded over the mesh axis; each shard psums
     # over the axis → every device must participate for the sum to arrive.
     tokens = jax.device_put(
         jnp.ones((D,), jnp.int32), NamedSharding(mesh, P(axis)))
+    heartbeat = _compiled_heartbeat(mesh)
 
-    @jax.jit
-    @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
-    def _heartbeat(t):
-        return jnp.reshape(jax.lax.psum(jnp.sum(t), axis), (1,))
-
+    t0 = time.time()
     result: dict = {}
 
     def _run():
         try:
-            out = np.asarray(_heartbeat(tokens))
+            out = np.asarray(heartbeat(tokens))
             result["total"] = int(out[0])
         except Exception as e:  # noqa: BLE001
             result["error"] = str(e)

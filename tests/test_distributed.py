@@ -175,27 +175,21 @@ def test_runtime_health_check(mesh):
     assert status["heartbeat_total"] == 8
 
 
-def test_runtime_health_check_timeout_path(mesh):
-    """A heartbeat that never completes must surface as ok=False within
-    timeout_s, not hang the caller."""
+def test_runtime_health_check_timeout_path(mesh, monkeypatch):
+    """A heartbeat EXECUTION that never completes must surface as ok=False
+    within timeout_s, not hang the caller.  (Compiles happen before the
+    timer by design — minutes-long remote compiles must not read as dead
+    peers — so the hang is injected at the executable level.)"""
     from radix_sort_tpu.parallel import runtime
 
-    orig = jax.shard_map
-
-    def hanging_shard_map(*a, **k):
-        fn = orig(*a, **k)
-
-        def wrapped(*args):
+    def hanging_compiled(_mesh):
+        def hang(_tokens):
             import time as _t
             _t.sleep(30.0)
-            return fn(*args)
-        return wrapped
+        return hang
 
-    jax.shard_map = hanging_shard_map
-    try:
-        status = runtime.health_check(mesh, timeout_s=1.0)
-    finally:
-        jax.shard_map = orig
+    monkeypatch.setattr(runtime, "_compiled_heartbeat", hanging_compiled)
+    status = runtime.health_check(mesh, timeout_s=1.0)
     assert not status["ok"]
     assert "timed out" in status["error"]
 
