@@ -78,6 +78,31 @@ def _incl_cumsum(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return x
 
 
+def _row_rank_eq(d: jnp.ndarray) -> jnp.ndarray:
+    """Stable in-row rank among equal digits via a masked equality matrix
+    (cheaper than a 3-D one-hot cumsum: 128 vs R ops/element, and no
+    cumsum over a 3-D layout).  Shared by the rank kernel here and the
+    streaming engine's partition (ops/pallas_stream.py).
+
+    d: (rows, 128) int32 → (rows, 128) int32, rank[r, l] = #{l' < l :
+    d[r, l'] == d[r, l]}.
+    """
+    rows = d.shape[0]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, LANES, LANES), 2)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (1, LANES, LANES), 1)
+    # chunk over row groups: the (chunk, 128, 128) equality tensor at
+    # chunk=8 is 512 KB — keeps VMEM pressure flat for any tile height.
+    ch = min(8, rows)
+    outs = []
+    for r0 in range(0, rows, ch):
+        dd = d[r0:r0 + ch]
+        eq = dd[:, :, None] == dd[:, None, :]            # (ch, l, l')
+        outs.append(jnp.sum(
+            jnp.logical_and(eq, jj < ii).astype(jnp.int32), axis=2,
+            dtype=jnp.int32, promote_integers=False))
+    return jnp.concatenate(outs, axis=0)
+
+
 # --------------------------------------------------------------- histogram
 
 def _hist_kernel_narrow(d_ref, out_ref, *, radix):
@@ -226,15 +251,7 @@ def _rank_kernel(d_ref, base_ref, out_ref, *, radix):
     row_hist = jnp.sum(oh, axis=1, dtype=jnp.int32,
                        promote_integers=False)       # (Mr, R)
     row_prefix = _incl_cumsum(row_hist, axis=0) - row_hist
-    # in-row exclusive rank among equal digits via a masked equality
-    # matrix (cheaper than a 3-D one-hot cumsum: 128 vs R ops/element,
-    # and no cumsum over a 3-D layout).
-    eq = (d[:, :, None] == d[:, None, :])            # (Mr, i, j)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (1, LANES, LANES), 1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (1, LANES, LANES), 2)
-    in_row = jnp.sum(jnp.logical_and(eq, jj < ii).astype(jnp.int32),
-                     axis=2, dtype=jnp.int32,
-                     promote_integers=False)         # (Mr, 128)
+    in_row = _row_rank_eq(d)                         # (Mr, 128)
     # offsets select: (global base + rows-before-mine) at my digit.
     base_row = base_ref[...].reshape(1, radix)       # (1, R)
     sel = row_prefix + base_row                      # (Mr, R)

@@ -45,6 +45,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_radix import _incl_cumsum, _row_rank_eq
+
 LANES = 128
 # HBM DMA granularity: 2-D (rows, 128) HBM refs accept DYNAMIC row offsets
 # with no divisibility proof (verified: scripts/scatter_probe.py cap-2drow
@@ -87,50 +89,14 @@ def _take1(x, idx):
                           mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
 
 
-def _incl_cumsum(x, axis):
-    """Inclusive prefix sum via Hillis-Steele roll+mask shift-adds — Mosaic
-    has no cumsum lowering (CLAUDE.md)."""
-    n = x.shape[axis]
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
-    sh = 1
-    while sh < n:
-        rolled = (jnp.roll(x, sh, axis=axis) if _interpret()
-                  else pltpu.roll(x, shift=np.int32(sh), axis=axis))
-        x = x + jnp.where(idx >= sh, rolled, jnp.int32(0))
-        sh <<= 1
-    return x
-
-
 def _excl_cumsum(x, axis):
+    # one shared in-kernel prefix-sum primitive (Mosaic workarounds —
+    # roll+mask shift-adds, pinned int32 shifts — live in one place)
     return _incl_cumsum(x, axis) - x
 
 
 # ---------------------------------------------------------------- in-kernel
 # Helpers traced INSIDE pallas kernels (also valid in interpret mode).
-
-def _row_rank_eq(d):
-    """Stable in-row rank among equal digits via a masked equality matrix.
-
-    d: (rows, 128) int32 → (rows, 128) int32, rank[r, l] = #{l' < l :
-    d[r, l'] == d[r, l]}.  ~128 VPU lane-ops per element; the MXU variants
-    (int8 bit-match matmuls) are a planned optimization once the engine is
-    correct end-to-end.
-    """
-    rows = d.shape[0]
-    jj = jax.lax.broadcasted_iota(jnp.int32, (1, LANES, LANES), 2)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (1, LANES, LANES), 1)
-    # chunk over row groups: the (chunk, 128, 128) equality tensor at
-    # chunk=8 is 512 KB — keeps VMEM pressure flat for any tile height.
-    CH = min(8, rows)
-    outs = []
-    for r0 in range(0, rows, CH):
-        dd = d[r0:r0 + CH]
-        eq = dd[:, :, None] == dd[:, None, :]            # (CH, l, l')
-        outs.append(jnp.sum(
-            jnp.logical_and(eq, jj < ii).astype(jnp.int32), axis=2,
-            dtype=jnp.int32, promote_integers=False))
-    return jnp.concatenate(outs, axis=0)
-
 
 def _row_counts(d, radix):
     """Per-(row, digit) counts: (rows, 128) int32 → (rows, R) int32.
@@ -624,6 +590,14 @@ def _pad_planes(arrs, fills, tile):
     return tuple(out), padded
 
 
+def _round_rows(n: int, rows: int) -> int:
+    """Clamp the requested grid-step height to the input and round UP to a
+    sublane multiple: the histogram/scan kernels tile (8, 128) sublane
+    blocks, so the grid-step height must be 8-aligned (and at least one
+    sublane group)."""
+    return -(-max(8, min(rows, -(-n // LANES))) // 8) * 8
+
+
 def sort_u32_keys(keys_u32: jnp.ndarray, radix: int = 16,
                   rows: int = 128) -> jnp.ndarray:
     """Full LSD sort of uint32 keys via streaming passes (key-only).
@@ -633,9 +607,7 @@ def sort_u32_keys(keys_u32: jnp.ndarray, radix: int = 16,
     XLA boundary fixup; degenerate passes are skipped.
     """
     n = keys_u32.shape[0]
-    # multiple of 8: the histogram/scan kernels tile (8, 128) sublane
-    # blocks, so the grid-step height must be sublane-aligned
-    rows = -(-max(8, min(rows, -(-n // LANES))) // 8) * 8
+    rows = _round_rows(n, rows)
     planes, padded = _pad_planes((keys_u32,), (jnp.uint32(0xFFFFFFFF),),
                                  rows * LANES)
     bits_per = int(np.log2(radix))
@@ -650,9 +622,7 @@ def sort_u32_kv(keys_u32: jnp.ndarray, values_i32: jnp.ndarray,
     through every pass (the capability the reference stubbed out —
     PERMUT, src/RadixSortGPU.cpp:578)."""
     n = keys_u32.shape[0]
-    # multiple of 8: the histogram/scan kernels tile (8, 128) sublane
-    # blocks, so the grid-step height must be sublane-aligned
-    rows = -(-max(8, min(rows, -(-n // LANES))) // 8) * 8
+    rows = _round_rows(n, rows)
     planes, padded = _pad_planes(
         (keys_u32, values_i32), (jnp.uint32(0xFFFFFFFF),
                                  jnp.int32(0)), rows * LANES)
@@ -668,9 +638,7 @@ def sort_u64_kv(keys_u64: jnp.ndarray, values_i32: jnp.ndarray,
     ride the same per-pass permutation (BASELINE config2's u64 KV shape on
     the streaming engine)."""
     n = keys_u64.shape[0]
-    # multiple of 8: the histogram/scan kernels tile (8, 128) sublane
-    # blocks, so the grid-step height must be sublane-aligned
-    rows = -(-max(8, min(rows, -(-n // LANES))) // 8) * 8
+    rows = _round_rows(n, rows)
     lo = (keys_u64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     hi = jax.lax.shift_right_logical(
         keys_u64, jnp.uint64(32)).astype(jnp.uint32)
@@ -696,9 +664,7 @@ def sort_u64_keys(keys_u64: jnp.ndarray, radix: int = 16,
     high-word passes (LSD order), both planes permuted together — no
     64-bit vector ops ever reach Mosaic."""
     n = keys_u64.shape[0]
-    # multiple of 8: the histogram/scan kernels tile (8, 128) sublane
-    # blocks, so the grid-step height must be sublane-aligned
-    rows = -(-max(8, min(rows, -(-n // LANES))) // 8) * 8
+    rows = _round_rows(n, rows)
     lo = (keys_u64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     hi = jax.lax.shift_right_logical(
         keys_u64, jnp.uint64(32)).astype(jnp.uint32)

@@ -127,10 +127,15 @@ def _assign_destinations(chunk_u: jnp.ndarray, splitters: jnp.ndarray,
     # NB mesh size, not interval count: num_devices here may be D*G
     # logical intervals (overlapped shuffle) on a smaller physical mesh.
     P_mesh = counts_mat.shape[0]
+    # int32 pinned: under jax_enable_x64 the default sum promotes to int64
+    # and the seed scatter below would unsafely cast int64 -> int32 (a
+    # JAX-announced future error on every 64-bit dist_sort).
     prev_vec = jnp.sum(
         jnp.where(jnp.arange(P_mesh)[:, None] < my, counts_mat, 0),
-        axis=0)
-    total_vec = jnp.maximum(jnp.sum(counts_mat, axis=0), 1)
+        axis=0, dtype=jnp.int32, promote_integers=False)
+    total_vec = jnp.maximum(
+        jnp.sum(counts_mat, axis=0, dtype=jnp.int32,
+                promote_integers=False), 1)
 
     # Per-splitter tied chip range [lo_s, hi_s] (duplicated splitters give
     # every tied copy the same value range).  All (S, S) — tiny.

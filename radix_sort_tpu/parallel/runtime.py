@@ -78,7 +78,11 @@ def initialize(coordinator_address: str | None = None,
 # mesh -> compiled heartbeat executable; reusing the compiled collective
 # keeps repeated health checks (the normal monitoring pattern) from paying
 # a jit compile per call — and keeps the compile OUT of the timed window.
+# Bounded FIFO for the same reason as dist_sort._SHARD_FN_CACHE: entries
+# pin a Mesh + executable, and a monitor that rebuilds meshes per check
+# would otherwise grow it without limit.
 _HEARTBEAT_CACHE: dict = {}
+_HEARTBEAT_CACHE_MAX = 16
 
 
 def _compiled_heartbeat(mesh):
@@ -103,6 +107,8 @@ def _compiled_heartbeat(mesh):
     arg = jax.ShapeDtypeStruct(
         (D,), jnp.int32, sharding=NamedSharding(mesh, P(axis)))
     compiled = jax.jit(_heartbeat).lower(arg).compile()
+    while len(_HEARTBEAT_CACHE) >= _HEARTBEAT_CACHE_MAX:
+        _HEARTBEAT_CACHE.pop(next(iter(_HEARTBEAT_CACHE)))
     _HEARTBEAT_CACHE[key] = (mesh, compiled)
     return compiled
 
@@ -135,9 +141,14 @@ def health_check(mesh=None, timeout_s: float = 30.0) -> dict:
 
     # One token per device, sharded over the mesh axis; each shard psums
     # over the axis → every device must participate for the sum to arrive.
-    tokens = jax.device_put(
-        jnp.ones((D,), jnp.int32), NamedSharding(mesh, P(axis)))
-    heartbeat = _compiled_heartbeat(mesh)
+    # Setup failures (wedged backend, compile error) are exactly what a
+    # health check exists to report — status dict, never a raise.
+    try:
+        tokens = jax.device_put(
+            jnp.ones((D,), jnp.int32), NamedSharding(mesh, P(axis)))
+        heartbeat = _compiled_heartbeat(mesh)
+    except Exception as e:  # noqa: BLE001
+        return {"ok": False, "error": f"heartbeat setup failed: {e}"}
 
     t0 = time.time()
     result: dict = {}

@@ -37,11 +37,12 @@ def main():
     import jax
 
     if os.environ.get("RST_FORCE_CPU_MESH"):
-        os.environ.setdefault(
-            "XLA_FLAGS",
-            (os.environ.get("XLA_FLAGS", "")
-             + f" --xla_force_host_platform_device_count="
-               f"{args.device_count}").strip())
+        # assign, don't setdefault: a pre-set XLA_FLAGS (e.g. a dump flag)
+        # must not silently discard the device-count flag
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count="
+              f"{args.device_count}").strip()
         jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp

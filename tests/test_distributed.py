@@ -66,6 +66,46 @@ def test_ragged_all_to_all_overflow_detected(mesh):
     assert bool(jax.jit(fn)(jnp.asarray(vals), jnp.asarray(dest)))
 
 
+def test_packed_all_to_all_multibucket_slices(mesh):
+    """One (sub, dest)-major stable partition feeding G exchanges via
+    count/start slices — the overlapped shuffle's packing contract: every
+    row arrives exactly once, in source order, in its own sub-round."""
+    from radix_sort_tpu.ops import partition as part_ops
+
+    G, n_per, cap = 2, 64, 64
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 10_000, size=D * n_per).astype(np.int32)
+    dest = rng.integers(0, D, size=D * n_per).astype(np.int32)
+    sub = rng.integers(0, G, size=D * n_per).astype(np.int32)
+
+    def shard_fn(v, d, s):
+        parted, cnts, starts = part_ops.stable_partition(
+            s * D + d, (v,), D * G)
+        outs = []
+        for g in range(G):
+            recv, rcounts, _ = exchange.packed_all_to_all(
+                parted, cnts[g * D:(g + 1) * D],
+                starts[g * D:(g + 1) * D], D, cap, "x", (np.int32(-1),))
+            outs += [recv[0], rcounts]
+        return tuple(outs)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P("x"), P("x"), P("x")),
+        out_specs=tuple([P("x")] * (2 * G)))
+    outs = jax.jit(fn)(jnp.asarray(vals), jnp.asarray(dest),
+                       jnp.asarray(sub))
+    for g in range(G):
+        recv = np.asarray(outs[2 * g]).reshape(D, D, cap)
+        counts = np.asarray(outs[2 * g + 1]).reshape(D, D)
+        for dst in range(D):
+            for src in range(D):
+                sl = slice(src * n_per, (src + 1) * n_per)
+                expected = vals[sl][(dest[sl] == dst) & (sub[sl] == g)]
+                got = recv[dst, src, :counts[dst, src]]
+                assert np.array_equal(got, expected), (g, dst, src)
+                assert np.all(recv[dst, src, counts[dst, src]:] == -1)
+
+
 # ------------------------------------------------------------- dist sort
 
 @pytest.mark.parametrize("ds_name", ["Zeros", "RandomDistributed", "Random",
@@ -192,6 +232,20 @@ def test_runtime_health_check_timeout_path(mesh, monkeypatch):
     status = runtime.health_check(mesh, timeout_s=1.0)
     assert not status["ok"]
     assert "timed out" in status["error"]
+
+
+def test_runtime_health_check_setup_failure_path(mesh, monkeypatch):
+    """A wedged backend / failed compile — exactly what a health check
+    exists to report — must come back as a status dict, never a raise."""
+    from radix_sort_tpu.parallel import runtime
+
+    def broken_compile(_mesh):
+        raise RuntimeError("backend wedged")
+
+    monkeypatch.setattr(runtime, "_compiled_heartbeat", broken_compile)
+    status = runtime.health_check(mesh, timeout_s=1.0)
+    assert not status["ok"]
+    assert "backend wedged" in status["error"]
 
 
 @pytest.mark.parametrize("ds_name", ["Zeros", "RandomDistributed"])
