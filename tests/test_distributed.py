@@ -145,6 +145,17 @@ def test_dist_sort_i64(mesh):
     assert np.array_equal(got, np.sort(data))
 
 
+def test_dist_sort_f32(mesh):
+    """Float keys ride the same total-order unsigned transform through the
+    shuffle (sample splitters, tie spread, sentinel padding) and come back
+    as floats — incl. the ±inf edges the device generators plant."""
+    rng = np.random.default_rng(5)
+    data = rng.standard_normal(D * 700 + 3).astype(np.float32)
+    data[:4] = [np.inf, -np.inf, 0.0, -0.0]
+    out = dist_sort.dist_sort(jnp.asarray(data), mesh=mesh)
+    assert np.array_equal(np.asarray(out), np.sort(data))
+
+
 def test_dist_sort_skewed_zipf(mesh):
     rng = np.random.default_rng(0)
     data = (rng.zipf(1.5, size=4096) % 1000).astype(np.uint32)
