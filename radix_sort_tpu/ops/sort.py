@@ -18,8 +18,9 @@ Engines:
     (ops/pallas_merge.py) — key-only, 32-bit key containers; other
     shapes fall back to xla_sort.
   - ``pallas_stream``: the streaming radix-scatter engine
-    (ops/pallas_stream.py) — the scatter-free TPU-native reorder; v1
-    key-only 32-bit.
+    (ops/pallas_stream.py) — the scatter-free TPU-native reorder; stable,
+    32/64-bit keys, key-only or one 32-bit payload plane (other shapes
+    fall back to xla_sort).
   - ``auto``:      current best for the active backend.
 
 All engines route keys through the order-preserving unsigned transform

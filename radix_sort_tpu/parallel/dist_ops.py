@@ -54,6 +54,32 @@ class ShardedTable:
 _GOLDEN32 = np.uint32(0x9E3779B9)
 _GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)
 
+# call geometry -> (mesh, jitted shard fn), like dist_sort._SHARD_FN_CACHE:
+# repeated dist-operator calls (sweeps, escalation retries) must not
+# rebuild/recompile the XLA program.  Bounded FIFO; entries retain the mesh
+# so a recycled id() cannot hit.
+_DIST_FN_CACHE: dict = {}
+_DIST_FN_CACHE_MAX = 64
+
+
+def _cached_jit(cache_key, mesh, build):
+    hit = _DIST_FN_CACHE.get(cache_key)
+    if hit is not None and hit[0] is mesh:
+        return hit[1]
+    jitted = jax.jit(build())
+    while len(_DIST_FN_CACHE) >= _DIST_FN_CACHE_MAX:
+        _DIST_FN_CACHE.pop(next(iter(_DIST_FN_CACHE)))
+    _DIST_FN_CACHE[cache_key] = (mesh, jitted)
+    return jitted
+
+
+def _capacity_attempts(base: int, per_dev: int):
+    """Host-level shuffle-capacity escalation schedule (same discipline as
+    dist_sort): expected-load first, 4x for skew, then the cannot-overflow
+    bound (a source only has per_dev rows)."""
+    return sorted({max(1, min(per_dev, base)),
+                   max(1, min(per_dev, base * 4)), max(1, per_dev)})
+
 
 def _hash_dest(keys, num_devices: int) -> jnp.ndarray:
     """Multiplicative (Fibonacci) hash of the biased key → destination chip.
@@ -97,7 +123,11 @@ def dist_hash_aggregate(table: Table, key: str,
                         axis: str = mesh_lib.DATA_AXIS,
                         capacity_factor: float = 2.5,
                         config: SortConfig = DEFAULT_CONFIG):
-    """GROUP BY over a row-sharded table.  Returns (ShardedTable, overflow)."""
+    """GROUP BY over a row-sharded table.  Returns (ShardedTable, overflow).
+
+    Shuffle-capacity overflow (hash skew: few distinct keys concentrate on
+    few chips) escalates host-side like dist_sort — the final attempt's
+    capacity equals the per-source row count and cannot overflow."""
     if mesh is None:
         mesh = mesh_lib.make_mesh()
     D = mesh.devices.size
@@ -106,29 +136,41 @@ def dist_hash_aggregate(table: Table, key: str,
         raise ValueError(f"table capacity {cap_rows} must be divisible by "
                          f"mesh size {D} (pad the table)")
     per_dev = cap_rows // D
-    capacity = max(1, min(per_dev, int(np.ceil(
-        capacity_factor * per_dev / D))))
-    slot_cap = D * capacity  # received rows per chip, = local agg capacity
+    base_cap = int(np.ceil(capacity_factor * per_dev / D))
+    aggs_t = tuple(sorted((n, tuple(v)) for n, v in aggs.items()))
+    col_names = tuple(sorted(table.columns))
 
-    def shard_fn(cols, num_rows):
-        local_valid = (jnp.arange(per_dev, dtype=jnp.int32)
-                       + jax.lax.axis_index(axis) * per_dev) < num_rows
-        shuffled, kept, overflow = _shuffle_table(
-            cols, local_valid, key, D, axis, capacity)
-        local = Table(shuffled, num_rows=kept)
-        out = agg_ops.hash_aggregate(local, key, aggs, config=config)
-        return (out.columns, out.num_rows[None],
-                jax.lax.psum(overflow.astype(jnp.int32), axis))
+    for capacity in _capacity_attempts(base_cap, per_dev):
+        slot_cap = D * capacity  # received rows/chip = local agg capacity
 
-    spec_cols = {n: P(axis) for n in table.columns}
-    fn = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(spec_cols, P()),
-        out_specs=({n: P(axis) for n in _agg_out_names(table, key, aggs)},
-                   P(axis), P()),
-    )
-    out_cols, rows, overflow = jax.jit(fn)(dict(table.columns),
-                                           table.num_rows)
+        def build(capacity=capacity):
+            def shard_fn(cols, num_rows):
+                local_valid = (jnp.arange(per_dev, dtype=jnp.int32)
+                               + jax.lax.axis_index(axis) * per_dev
+                               ) < num_rows
+                shuffled, kept, overflow = _shuffle_table(
+                    cols, local_valid, key, D, axis, capacity)
+                local = Table(shuffled, num_rows=kept)
+                out = agg_ops.hash_aggregate(local, key, aggs,
+                                             config=config)
+                return (out.columns, out.num_rows[None],
+                        jax.lax.psum(overflow.astype(jnp.int32), axis))
+
+            return jax.shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=({n: P(axis) for n in table.columns}, P()),
+                out_specs=({n: P(axis)
+                            for n in _agg_out_names(table, key, aggs)},
+                           P(axis), P()),
+            )
+
+        jitted = _cached_jit(
+            ("agg", id(mesh), axis, capacity, per_dev, key, aggs_t, config,
+             col_names), mesh, build)
+        out_cols, rows, overflow = jitted(dict(table.columns),
+                                          table.num_rows)
+        if not bool(overflow > 0):
+            break
     return (ShardedTable(out_cols, rows.astype(jnp.int32), slot_cap),
             overflow > 0)
 
@@ -154,25 +196,8 @@ def dist_hash_join(probe: Table, build: Table, key: str,
             raise ValueError(f"{nm} capacity {t.capacity} not divisible by "
                              f"mesh size {D}")
     p_per, b_per = probe.capacity // D, build.capacity // D
-    p_cap = max(1, min(p_per, int(np.ceil(capacity_factor * p_per / D))))
-    b_cap = max(1, min(b_per, int(np.ceil(capacity_factor * b_per / D))))
-    out_slot_cap = D * p_cap * max_duplicates
-
-    def shard_fn(p_cols, p_rows, b_cols, b_rows):
-        me = jax.lax.axis_index(axis)
-        pv = (jnp.arange(p_per, dtype=jnp.int32) + me * p_per) < p_rows
-        bv = (jnp.arange(b_per, dtype=jnp.int32) + me * b_per) < b_rows
-        ps, p_kept, p_over = _shuffle_table(p_cols, pv, key, D, axis, p_cap)
-        bs, b_kept, b_over = _shuffle_table(b_cols, bv, key, D, axis, b_cap)
-        out, stats = join_ops.hash_join(
-            Table(ps, num_rows=p_kept), Table(bs, num_rows=b_kept), key,
-            max_duplicates=max_duplicates, suffixes=suffixes, config=config)
-        shuffle_over = jnp.logical_or(p_over, b_over)
-        return (out.columns, out.num_rows[None],
-                jax.lax.psum(stats["match_count"], axis),
-                jax.lax.psum(
-                    jnp.logical_or(stats["overflow"],
-                                   shuffle_over).astype(jnp.int32), axis))
+    p_base = int(np.ceil(capacity_factor * p_per / D))
+    b_base = int(np.ceil(capacity_factor * b_per / D))
 
     # output column names: computed like ops/join.py
     out_names = []
@@ -181,14 +206,59 @@ def dist_hash_join(probe: Table, build: Table, key: str,
     for n in build.column_names:
         out_names.append(n + suffixes[1] if (n + suffixes[0]) in out_names
                          else n)
-    fn = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=({n: P(axis) for n in probe.columns}, P(),
-                  {n: P(axis) for n in build.columns}, P()),
-        out_specs=({n: P(axis) for n in out_names}, P(axis), P(), P()),
-    )
-    out_cols, rows, matches, overflow = jax.jit(fn)(
-        dict(probe.columns), probe.num_rows,
-        dict(build.columns), build.num_rows)
-    stats = {"match_count": matches, "overflow": overflow > 0}
+
+    # Shuffle-capacity escalation (dist_sort discipline), probe and build
+    # in lockstep; ONLY shuffle overflow escalates — join-internal overflow
+    # (duplicate fanout past max_duplicates) is not fixable by larger
+    # exchange slots, so it is reported, not retried.
+    p_attempts = _capacity_attempts(p_base, p_per)
+    b_attempts = _capacity_attempts(b_base, b_per)
+    n_attempts = max(len(p_attempts), len(b_attempts))
+    for i in range(n_attempts):
+        p_cap = p_attempts[min(i, len(p_attempts) - 1)]
+        b_cap = b_attempts[min(i, len(b_attempts) - 1)]
+        out_slot_cap = D * p_cap * max_duplicates
+
+        def build_fn(p_cap=p_cap, b_cap=b_cap):
+            def shard_fn(p_cols, p_rows, b_cols, b_rows):
+                me = jax.lax.axis_index(axis)
+                pv = (jnp.arange(p_per, dtype=jnp.int32)
+                      + me * p_per) < p_rows
+                bv = (jnp.arange(b_per, dtype=jnp.int32)
+                      + me * b_per) < b_rows
+                ps, p_kept, p_over = _shuffle_table(p_cols, pv, key, D,
+                                                    axis, p_cap)
+                bs, b_kept, b_over = _shuffle_table(b_cols, bv, key, D,
+                                                    axis, b_cap)
+                out, stats = join_ops.hash_join(
+                    Table(ps, num_rows=p_kept), Table(bs, num_rows=b_kept),
+                    key, max_duplicates=max_duplicates, suffixes=suffixes,
+                    config=config)
+                shuffle_over = jnp.logical_or(p_over, b_over)
+                return (out.columns, out.num_rows[None],
+                        jax.lax.psum(stats["match_count"], axis),
+                        jax.lax.psum(shuffle_over.astype(jnp.int32), axis),
+                        jax.lax.psum(
+                            stats["overflow"].astype(jnp.int32), axis))
+
+            return jax.shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=({n: P(axis) for n in probe.columns}, P(),
+                          {n: P(axis) for n in build.columns}, P()),
+                out_specs=({n: P(axis) for n in out_names}, P(axis), P(),
+                           P(), P()),
+            )
+
+        jitted = _cached_jit(
+            ("join", id(mesh), axis, p_cap, b_cap, p_per, b_per, key,
+             max_duplicates, tuple(suffixes), config,
+             tuple(sorted(probe.columns)), tuple(sorted(build.columns))),
+            mesh, build_fn)
+        out_cols, rows, matches, shuffle_over, join_over = jitted(
+            dict(probe.columns), probe.num_rows,
+            dict(build.columns), build.num_rows)
+        if not bool(shuffle_over > 0):
+            break
+    overflow = (shuffle_over > 0) | (join_over > 0)
+    stats = {"match_count": matches, "overflow": overflow}
     return ShardedTable(out_cols, rows.astype(jnp.int32), out_slot_cap), stats

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--mesh-sizes", default="")
     ap.add_argument("--device-count", type=int, default=8,
                     help="virtual CPU device count under RST_FORCE_CPU_MESH")
+    ap.add_argument("--check-ops", action="store_true",
+                    help="also trace + validate the distributed hash "
+                         "aggregate and hash join at each mesh size (the "
+                         "whole dist layer past toy meshes, not just sort)")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +51,48 @@ def main():
 
     import jax.numpy as jnp
 
-    from radix_sort_tpu.parallel import dist_sort, mesh as mesh_lib
+    from radix_sort_tpu.parallel import dist_ops, dist_sort, mesh as mesh_lib
+    from radix_sort_tpu.table import Table
+
+    def check_ops(mesh, D, rows):
+        """dist aggregate + join traced and validated vs numpy at mesh size
+        D (row count scales with D like the sort check)."""
+        rng = np.random.default_rng(D)
+        n = D * rows
+        gk = rng.integers(0, max(4, n // 64), size=n).astype(np.uint32)
+        xs = rng.integers(-100, 100, size=n).astype(np.int32)
+        t = Table.from_numpy({"g": gk, "x": xs})
+        out, ovf = dist_ops.dist_hash_aggregate(
+            t, "g", {"n": ("count", None), "s": ("sum", "x")}, mesh=mesh)
+        res = out.to_numpy()
+        order = np.argsort(res["g"], kind="stable")
+        uk, inv = np.unique(gk, return_inverse=True)
+        agg_ok = (np.array_equal(res["g"][order], uk)
+                  and np.array_equal(res["n"][order], np.bincount(inv))
+                  and np.array_equal(res["s"][order],
+                                     np.bincount(inv, weights=xs).astype(
+                                         np.int64)))
+
+        bk = np.arange(0, max(2, n // 128), 2, dtype=np.uint32)
+        bcap = -(-bk.size // D) * D  # pad to a mesh multiple; tail masked
+        build = Table(
+            {"k": jnp.asarray(np.concatenate(
+                [bk, np.zeros(bcap - bk.size, np.uint32)])),
+             "bv": jnp.asarray(np.concatenate(
+                 [bk.astype(np.int32) * 3,
+                  np.zeros(bcap - bk.size, np.int32)]))},
+            num_rows=bk.size)
+        pk = rng.integers(0, bk.size * 2, size=n).astype(np.uint32)
+        probe = Table.from_numpy(
+            {"k": pk, "pv": np.arange(n, dtype=np.int32)})
+        jout, stats = dist_ops.dist_hash_join(probe, build, "k", mesh=mesh)
+        jres = jout.to_numpy()
+        exp_matches = int(np.isin(pk, bk).sum())
+        join_ok = (int(stats["match_count"]) == exp_matches
+                   and jres["k"].size == exp_matches
+                   and np.array_equal(jres["bv"],
+                                      jres["k"].astype(np.int32) * 3))
+        return agg_ok, join_ok
 
     ndev = len(jax.devices())
     sizes = ([int(s) for s in args.mesh_sizes.split(",") if s]
@@ -75,8 +120,15 @@ def main():
         eff = base / wall
         results[D] = {"rows": n, "wall_s": round(wall, 4),
                       "weak_scaling_eff": round(eff, 3), "valid": ok}
+        if args.check_ops:
+            agg_ok, join_ok = check_ops(mesh, D, max(64, rows // 16))
+            results[D]["agg_valid"] = agg_ok
+            results[D]["join_valid"] = join_ok
         print(f"D={D} rows={n} wall={wall*1e3:.1f} ms eff={eff:.2%} "
-              f"valid={ok}", flush=True)
+              f"valid={ok}"
+              + (f" agg={results[D]['agg_valid']} "
+                 f"join={results[D]['join_valid']}" if args.check_ops
+                 else ""), flush=True)
     print(json.dumps(results))
 
 

@@ -183,6 +183,25 @@ def test_dist_hash_aggregate(mesh):
     assert np.array_equal(res["s"][order], exp_s)
 
 
+def test_dist_hash_aggregate_skew_escalation(mesh):
+    """Degenerate hash skew — fewer distinct keys than chips, so most
+    exchange capacity sits on a couple of (src, dst) pairs — must complete
+    via host-level capacity escalation, not report overflow."""
+    n = 2048
+    rng = np.random.default_rng(11)
+    keys = (rng.integers(0, 3, size=n)).astype(np.uint32)   # 3 groups, 8 chips
+    vals = np.ones(n, np.int32)
+    out, overflow = dist_ops.dist_hash_aggregate(
+        Table.from_numpy({"g": keys, "x": vals}), "g",
+        {"n": ("count", None), "s": ("sum", "x")}, mesh=mesh)
+    assert not bool(overflow)
+    res = out.to_numpy()
+    order = np.argsort(res["g"], kind="stable")
+    uk, inv = np.unique(keys, return_inverse=True)
+    assert np.array_equal(res["g"][order], uk)
+    assert np.array_equal(res["n"][order], np.bincount(inv))
+
+
 # ------------------------------------------------------------- dist join
 
 def test_dist_hash_join(mesh):
@@ -207,6 +226,28 @@ def test_dist_hash_join(mesh):
     got = sorted(zip(res["k"].tolist(), res["pv"].tolist()))
     exp = sorted((int(k), i) for i, k in enumerate(pk) if k in set(bk.tolist()))
     assert got == exp
+
+
+def test_dist_hash_join_skew_escalation(mesh):
+    """Probe keys concentrated on 4 distinct values (all hashing to at most
+    4 of 8 chips): the shuffle overflows at expected-load capacity and must
+    escalate to completion with every match present exactly once."""
+    n = 1024
+    rng = np.random.default_rng(13)
+    bk = np.array([0, 2, 4, 6], dtype=np.uint32)
+    build = Table({"k": jnp.asarray(np.concatenate([bk, np.zeros(4, np.uint32)])),
+                   "bv": jnp.asarray(np.concatenate(
+                       [bk.astype(np.int32) * 3, np.zeros(4, np.int32)]))},
+                  num_rows=bk.size)
+    pk = rng.integers(0, 8, size=n).astype(np.uint32)
+    probe = Table.from_numpy({"k": pk, "pv": np.arange(n, dtype=np.int32)})
+    out, stats = dist_ops.dist_hash_join(probe, build, "k", mesh=mesh)
+    assert not bool(stats["overflow"])
+    res = out.to_numpy()
+    exp_matches = int(np.isin(pk, bk).sum())
+    assert int(stats["match_count"]) == exp_matches
+    assert res["k"].size == exp_matches
+    assert np.array_equal(res["bv"], res["k"].astype(np.int32) * 3)
 
 
 def test_runtime_single_host_initialize():
