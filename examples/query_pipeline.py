@@ -64,6 +64,16 @@ def main():
           and np.array_equal(res["orders"], exp_orders)
           and np.array_equal(res["revenue"].astype(np.int64), exp_rev))
 
+    # ordered selection on the aggregate: top 3 regions by revenue
+    top = (Query(orders)
+           .filter("amount", "ge", 50)
+           .join(customers, on="cust")
+           .group_by("region", revenue=("sum", "amount"))
+           .top_k("revenue", 3)
+           .collect().to_numpy())
+    exp_top = np.sort(exp_rev)[::-1][:3]
+    ok = ok and np.array_equal(top["revenue"].astype(np.int64), exp_top)
+
     print("region  orders  revenue")
     for r, o, v in zip(res["region"], res["orders"], res["revenue"]):
         print(f"{r:6d} {o:7d} {v:9d}")

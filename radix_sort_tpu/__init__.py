@@ -16,12 +16,16 @@ Public API:
 from .config import SortConfig, DEFAULT_CONFIG
 from .status import OperationStatus, EngineError
 from .ops.sort import sort, sort_kv, argsort
+from .ops.topk import top_k, top_k_kv
+from .table import Table
+from .query import Query
 from . import datasets, golden, dtypes
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "sort", "sort_kv", "argsort",
+    "sort", "sort_kv", "argsort", "top_k", "top_k_kv",
+    "Table", "Query",
     "SortConfig", "DEFAULT_CONFIG",
     "OperationStatus", "EngineError",
     "datasets", "golden", "dtypes",

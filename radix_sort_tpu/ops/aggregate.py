@@ -180,6 +180,47 @@ def hash_aggregate(table: Table, key: str,
     return Table(out_cols, num_rows=num_groups)
 
 
+def distinct(table: Table, key: str,
+             config: SortConfig = DEFAULT_CONFIG) -> Table:
+    """SELECT DISTINCT ON (key): one row per distinct key value — the FIRST
+    occurrence's full row — emitted in ascending key order.
+
+    Same scatter-free machinery as the aggregate: one STABLE sort of all
+    columns by the biased key (stability = first-occurrence semantics; the
+    valid-prefix invariant keeps real sentinel-valued keys ahead of padding
+    within a tie run), run-start detection, then run-start compaction via a
+    second stable sort.  Output capacity equals input capacity; ``num_rows``
+    carries the distinct count.
+    """
+    cap = table.capacity
+    if cap == 0:
+        return Table(dict(table.columns), num_rows=0)
+    valid_in = table.valid_mask()
+    ku = dtypes.to_sortable_unsigned(table[key])
+    sent = dtypes._np_scalar(np.dtype(ku.dtype),
+                             dtypes.sentinel_max_unsigned(ku.dtype))
+    ku = jnp.where(valid_in, ku, sent)
+    names = table.column_names
+    invalid = jnp.where(valid_in, 0, 1).astype(jnp.int32)
+    out = jax.lax.sort(
+        (ku, invalid) + tuple(table.columns[n] for n in names),
+        num_keys=1, is_stable=True)
+    ku_sorted, valid = out[0], out[1] == 0
+    cols_sorted = out[2:]
+
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    is_new = jnp.logical_and(
+        valid,
+        jnp.logical_or(idx == 0,
+                       jnp.concatenate([jnp.ones((1,), bool),
+                                        ku_sorted[1:] != ku_sorted[:-1]])))
+    num_distinct = jnp.sum(is_new.astype(jnp.int32))
+    compact_key = jnp.where(is_new, 0, 1).astype(jnp.int32)
+    packed = jax.lax.sort((compact_key,) + cols_sorted,
+                          num_keys=1, is_stable=True)[1:]
+    return Table(dict(zip(names, packed)), num_rows=num_distinct)
+
+
 # ---- scatter-based reference formulation (tests cross-validate) ----------
 
 def _segment_reduce(op, vals, seg_ids, num_segments, valid):

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .. import dtypes
 from ..config import SortConfig, DEFAULT_CONFIG
 from ..ops import aggregate as agg_ops, join as join_ops, partition as part_ops
+from ..ops import topk as topk_ops
 from ..table import Table
 from . import exchange, mesh as mesh_lib
 
@@ -177,6 +178,78 @@ def dist_hash_aggregate(table: Table, key: str,
 
 def _agg_out_names(table, key, aggs):
     return tuple(sorted({key, *aggs.keys()}))
+
+
+def dist_top_k(table: Table, key: str, k: int, *, largest: bool = True,
+               mesh: Mesh | None = None, axis: str = mesh_lib.DATA_AXIS,
+               config: SortConfig = DEFAULT_CONFIG) -> Table:
+    """Global ORDER BY key (DESC if largest) LIMIT k over a row-sharded table.
+
+    No shuffle and no capacity escalation: each chip selects its local
+    top-min(k, rows/chip) candidates (ops/topk.py), the k·D candidate rows
+    ride ONE ``all_gather`` (tiny — k is static and small), and the final
+    selection runs replicated.  Returns a replicated :class:`Table` of
+    capacity k.
+
+    Tie semantics: deterministic (chip index, then local rank) — global
+    first-occurrence order is NOT preserved across chips, unlike the
+    single-chip ``topk_table``.
+    """
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    D = mesh.devices.size
+    if table.capacity % D:
+        raise ValueError(f"table capacity {table.capacity} must be divisible "
+                         f"by mesh size {D} (pad the table)")
+    per_dev = table.capacity // D
+    if k > table.capacity:
+        raise ValueError(f"k={k} exceeds table capacity {table.capacity}")
+    kl = min(k, per_dev)
+    names = tuple(sorted(table.columns))
+
+    def build():
+        def shard_fn(cols, num_rows):
+            me = jax.lax.axis_index(axis)
+            local_rows = jnp.clip(num_rows - me * per_dev, 0, per_dev)
+            local = Table(dict(cols), num_rows=local_rows)
+            cand = topk_ops.topk_table(local, key, kl, largest=largest,
+                                       config=config)
+            gcols = {n: jax.lax.all_gather(cand.columns[n], axis, tiled=True)
+                     for n in names}
+            grows = jax.lax.all_gather(cand.num_rows, axis)  # (D,)
+            slot_valid = (jnp.arange(D * kl, dtype=jnp.int32) % kl
+                          ) < jnp.repeat(grows, kl)
+            ku = dtypes.to_sortable_unsigned(gcols[key])
+            inv_score = ~(ku if largest else ~ku)  # ascending = best-first
+            # empty candidate slots sort last: worst primary score, plus
+            # validity as SECONDARY key so slots never displace real rows
+            # that tie with them on score
+            sent = dtypes._np_scalar(np.dtype(inv_score.dtype),
+                                     dtypes.sentinel_max_unsigned(
+                                         inv_score.dtype))
+            inv_score = jnp.where(slot_valid, inv_score, sent)
+            invalid = jnp.where(slot_valid, 0, 1).astype(jnp.int32)
+            packed = jax.lax.sort(
+                (inv_score, invalid) + tuple(gcols[n] for n in names),
+                num_keys=2, is_stable=True)  # D*kl >= k by construction
+            out = {n: packed[2 + i][:k] for i, n in enumerate(names)}
+            return out, jnp.minimum(num_rows, k)
+
+        # check_vma=False: every output is derived solely from all_gather'd
+        # candidates and the replicated num_rows, but the static VMA checker
+        # cannot see through the multi-operand lax.sort to prove it.
+        return jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=({n: P(axis) for n in names}, P()),
+            out_specs=({n: P() for n in names}, P()),
+            check_vma=False,
+        )
+
+    jitted = _cached_jit(
+        ("topk", id(mesh), axis, k, per_dev, key, largest, config, names),
+        mesh, build)
+    out_cols, total = jitted(dict(table.columns), table.num_rows)
+    return Table(out_cols, num_rows=total)
 
 
 def dist_hash_join(probe: Table, build: Table, key: str,

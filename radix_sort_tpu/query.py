@@ -63,15 +63,39 @@ class Query:
         self._steps.append(("join", (other, on, max_duplicates, suffixes)))
         return self
 
-    def sort_by(self, *keys: str) -> "Query":
+    def distinct(self, column: str) -> "Query":
+        """One row per distinct value of ``column`` (first occurrence),
+        ascending order."""
+        self._steps.append(("distinct", (column,)))
+        return self
+
+    def top_k(self, column: str, k: int, largest: bool = True) -> "Query":
+        """ORDER BY column (DESC if largest) LIMIT k."""
+        self._steps.append(("top_k", (column, k, largest)))
+        return self
+
+    def limit(self, n: int) -> "Query":
+        """Keep the first n rows of the current result."""
+        self._steps.append(("limit", (n,)))
+        return self
+
+    def sort_by(self, *keys: str, descending=False) -> "Query":
         """Sort by one or more key columns (first = most significant).
+        ``descending`` is a bool for all keys or a per-key sequence.
         Multi-key order is realized LSD-style: successive stable sorts from
         the least-significant key — the same composition the radix sort
         itself uses per digit."""
         if len(keys) == 1 and not isinstance(keys[0], str):
             keys = tuple(keys[0])
-        for k in reversed(keys):
-            self._steps.append(("sort_by", (k,)))
+        if isinstance(descending, bool):
+            desc = (descending,) * len(keys)
+        else:
+            desc = tuple(descending)
+            if len(desc) != len(keys):
+                raise ValueError(
+                    f"descending has {len(desc)} entries for {len(keys)} keys")
+        for k, d in reversed(tuple(zip(keys, desc))):
+            self._steps.append(("sort_by", (k, d)))
         return self
 
     # ---- execution --------------------------------------------------------
@@ -99,6 +123,17 @@ class Query:
                 key, aggs = args
                 t = agg_ops.hash_aggregate(t, key, aggs,
                                            config=self._config)
+            elif step == "distinct":
+                (col,) = args
+                t = agg_ops.distinct(t, col, config=self._config)
+            elif step == "top_k":
+                from .ops import topk as topk_ops
+                col, k, largest = args
+                t = topk_ops.topk_table(t, col, k, largest=largest,
+                                        config=self._config)
+            elif step == "limit":
+                (n,) = args
+                t = t.head(n)
             elif step == "join":
                 other, on, max_dup, suffixes = args
                 t, stats = join_ops.hash_join(
@@ -106,7 +141,7 @@ class Query:
                     suffixes=suffixes, config=self._config)
                 self._stats["join"] = stats
             elif step == "sort_by":
-                (key,) = args
+                key, desc = args
                 names = t.column_names
                 payload = {n: t.columns[n] for n in names if n != key}
                 # padding rows must stay at the tail: sort by biased key
@@ -117,6 +152,8 @@ class Query:
                 from . import dtypes
 
                 ku = dtypes.to_sortable_unsigned(t[key])
+                if desc:
+                    ku = ~ku  # order-reversing on the unsigned image
                 sent = dtypes._np_scalar(
                     np.dtype(ku.dtype),
                     dtypes.sentinel_max_unsigned(ku.dtype))

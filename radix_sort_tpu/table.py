@@ -94,6 +94,17 @@ class Table:
         """Boolean mask of real (non-padding) rows."""
         return jnp.arange(self._capacity, dtype=jnp.int32) < self.num_rows
 
+    def head(self, n: int) -> "Table":
+        """First min(n, num_rows) rows (LIMIT n).  ``n`` is static, so the
+        capacity shrinks to n — a static slice, jit-safe."""
+        if n < 0:
+            raise EngineError(OperationStatus.HOST_BUFFERS_FAILED,
+                              f"head(n) needs n >= 0, got {n}")
+        if n >= self._capacity:
+            return Table(dict(self.columns), self.num_rows)
+        return Table({k: v[:n] for k, v in self.columns.items()},
+                     jnp.minimum(self.num_rows, n))
+
     # -- host boundary -----------------------------------------------------
     @classmethod
     def from_numpy(cls, columns: Mapping[str, np.ndarray]) -> "Table":

@@ -328,3 +328,53 @@ def test_dist_sort_overlapped_kv_stable(mesh):
     assert not overflow
     assert np.array_equal(np.asarray(ks), golden.oracle_sort(data))
     assert np.array_equal(np.asarray(vs), golden.oracle_argsort(data))
+
+
+# -------------------------------------------------------------- dist top-k
+
+def test_dist_top_k_unique_keys_with_payload(mesh):
+    rng = np.random.default_rng(17)
+    n = 1024
+    keys = rng.permutation(n).astype(np.uint32)      # unique -> exact oracle
+    vals = (keys * 3 + 1).astype(np.int32)
+    t = Table.from_numpy({"k": keys, "v": vals})
+    out = dist_ops.dist_top_k(t, "k", 10, mesh=mesh).to_numpy()
+    exp = np.sort(keys)[::-1][:10]
+    assert np.array_equal(out["k"], exp)
+    assert np.array_equal(out["v"], exp * 3 + 1)
+    small = dist_ops.dist_top_k(t, "k", 7, largest=False, mesh=mesh)
+    assert np.array_equal(small.to_numpy()["k"], np.sort(keys)[:7])
+
+
+def test_dist_top_k_padding_rows_lose(mesh):
+    n, rows = 512, 300
+    keys = np.arange(n, dtype=np.int64)
+    keys[rows:] = 10_000_000                          # garbage in padding
+    t = Table({"k": jnp.asarray(keys)}, num_rows=rows)
+    out = dist_ops.dist_top_k(t, "k", 5, mesh=mesh).to_numpy()
+    assert np.array_equal(out["k"], np.arange(rows)[::-1][:5])
+
+
+def test_dist_top_k_k_exceeds_per_device(mesh):
+    rng = np.random.default_rng(23)
+    n = 256                                           # per_dev = 32 < k
+    keys = rng.permutation(n).astype(np.int32) - 128
+    t = Table.from_numpy({"k": keys})
+    out = dist_ops.dist_top_k(t, "k", 100, mesh=mesh).to_numpy()
+    assert np.array_equal(out["k"], np.sort(keys)[::-1][:100])
+
+
+def test_dist_top_k_fewer_valid_rows_than_k(mesh):
+    keys = np.arange(64, dtype=np.uint32)
+    t = Table({"k": jnp.asarray(keys)}, num_rows=3)
+    out = dist_ops.dist_top_k(t, "k", 8, mesh=mesh)
+    assert int(out.num_rows) == 3
+    assert np.array_equal(out.to_numpy()["k"], [2, 1, 0])
+
+
+def test_dist_top_k_ties_return_correct_multiset(mesh):
+    rng = np.random.default_rng(29)
+    keys = rng.integers(0, 4, size=512).astype(np.uint32)  # heavy ties
+    t = Table.from_numpy({"k": keys})
+    out = dist_ops.dist_top_k(t, "k", 50, mesh=mesh).to_numpy()
+    assert np.array_equal(out["k"], np.sort(keys)[::-1][:50])

@@ -104,3 +104,23 @@ def test_multi_key_sort():
     assert np.array_equal(out["a"], np.asarray(t["a"])[order])
     assert np.array_equal(out["b"], np.asarray(t["b"])[order])
     assert np.array_equal(out["v"], order)
+
+
+def test_query_sort_by_descending():
+    import numpy as np
+    import jax.numpy as jnp
+    from radix_sort_tpu import Query, Table
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 5, 64).astype(np.int32)
+    x = rng.integers(-100, 100, 64).astype(np.int32)
+    t = Table({"g": jnp.asarray(g), "x": jnp.asarray(x)}, num_rows=50)
+    out = (Query(t).sort_by("g", "x", descending=[True, False])
+           .collect().to_numpy())
+    order = np.lexsort((x[:50], -g[:50]))  # g desc, x asc, stable
+    np.testing.assert_array_equal(out["g"], g[:50][order])
+    np.testing.assert_array_equal(out["x"], x[:50][order])
+    # bool shorthand applies to every key
+    out2 = Query(t).sort_by("x", descending=True).collect().to_numpy()
+    ord2 = np.argsort(-x[:50].astype(np.int64), kind="stable")
+    np.testing.assert_array_equal(out2["x"], x[:50][ord2])
