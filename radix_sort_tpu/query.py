@@ -79,6 +79,14 @@ class Query:
         self._steps.append(("limit", (n,)))
         return self
 
+    def window(self, partition: str, order: str, **specs) -> "Query":
+        """Append window-function columns over (PARTITION BY ``partition``,
+        ORDER BY ``order``): ``out_name=("row_number",)``, ``("rank",)``,
+        ``("dense_rank",)``, ``("cum_sum", col)``, ``("cum_min"|"cum_max"|
+        "first_value", col)``, ``("lag"|"lead", col[, k[, fill]])``."""
+        self._steps.append(("window", (partition, order, dict(specs))))
+        return self
+
     def sort_by(self, *keys: str, descending=False) -> "Query":
         """Sort by one or more key columns (first = most significant).
         ``descending`` is a bool for all keys or a per-key sequence.
@@ -140,6 +148,11 @@ class Query:
                     t, other, on, max_duplicates=max_dup,
                     suffixes=suffixes, config=self._config)
                 self._stats["join"] = stats
+            elif step == "window":
+                from .ops import window as win_ops
+                partition, order, specs = args
+                t = win_ops.table_window(t, partition, order, specs,
+                                         config=self._config)
             elif step == "sort_by":
                 key, desc = args
                 names = t.column_names
