@@ -181,9 +181,14 @@ def _merge_kernel(ia_ref, ib_ref, la_ref, in_hbm, o_ref,
     b = _rotate_elems(wb[...], ib - rb * LANES, W)[:TILE_ROWS]
     b = jnp.where(gi < TILE - la, b, jnp.int32(SENTINEL))
 
-    c = jnp.concatenate([a, _flip_tile(b)], axis=0)   # bitonic (256,128)
-    merged = _bitonic_merge(c, 2 * TILE_ROWS)
-    o_ref[...] = merged[:TILE_ROWS]
+    # Bitonic halver: a ++ flip(b) is bitonic, and the first compare-exchange
+    # stage (distance TILE) is exactly the elementwise min/max of the two
+    # halves.  This tile only emits the TILE smallest, so the max half is
+    # never materialized: one jnp.minimum replaces a full stage on 2x rows,
+    # and the remaining merge runs log(TILE)-1 stages on HALF the data the
+    # old concat formulation processed (~1.9x less VPU work per level).
+    low = jnp.minimum(a, _flip_tile(b))               # bitonic (128,128)
+    o_ref[...] = _bitonic_merge(low, TILE_ROWS)
 
 
 # ------------------------------------------------------- merge-path (XLA)
@@ -257,6 +262,50 @@ def merge_sort_u32(keys_u32: jnp.ndarray, n: int) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(out, jnp.uint32) ^ _SIGN
 
 
+def tile_sort(x_flat: jnp.ndarray) -> jnp.ndarray:
+    """Level 0: in-VMEM bitonic sort of each TILE-element block.  Input is
+    (num_tiles*TILE,) i32; output same shape, each tile row-major sorted."""
+    num_tiles = x_flat.shape[0] // TILE
+    x2 = pl.pallas_call(
+        _tile_sort_kernel,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec((TILE_ROWS, LANES), lambda t: (t, np.int32(0)),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TILE_ROWS, LANES), lambda t: (t, np.int32(0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_tiles * TILE_ROWS, LANES),
+                                       jnp.int32),
+        interpret=_interpret(),
+    )(x_flat.reshape(num_tiles * TILE_ROWS, LANES))
+    return x2.reshape(-1)
+
+
+def merge_level(x_flat: jnp.ndarray, ia, ib, la) -> jnp.ndarray:
+    """One pairwise merge level with precomputed per-output-tile splits."""
+    num_tiles = x_flat.shape[0] // TILE
+    xin = _pad_rows(x_flat, TILE_ROWS + 8).reshape(-1, LANES)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((TILE_ROWS, LANES), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_ROWS + 8, LANES), jnp.int32),
+            pltpu.VMEM((TILE_ROWS + 8, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _merge_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles * TILE_ROWS, LANES),
+                                       jnp.int32),
+        interpret=_interpret(),
+    )(ia, ib, la, xin).reshape(-1)
+
+
 def _merge_sort_i32(keys_i32: jnp.ndarray, n: int) -> jnp.ndarray:
     padded = max(TILE, -(-n // TILE) * TILE)
     num_tiles = padded // TILE
@@ -272,43 +321,11 @@ def _merge_sort_i32(keys_i32: jnp.ndarray, n: int) -> jnp.ndarray:
         jnp.full((padded - n,), SENTINEL, jnp.int32)]) if padded != n \
         else keys_i32
 
-    # level 0: in-VMEM tile sort
-    x2 = pl.pallas_call(
-        _tile_sort_kernel,
-        grid=(num_tiles,),
-        in_specs=[pl.BlockSpec((TILE_ROWS, LANES), lambda t: (t, np.int32(0)),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((TILE_ROWS, LANES), lambda t: (t, np.int32(0)),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_tiles * TILE_ROWS, LANES),
-                                       jnp.int32),
-        interpret=_interpret(),
-    )(x.reshape(num_tiles * TILE_ROWS, LANES))
-    x = x2.reshape(-1)
+    x = tile_sort(x)
 
     levels = int(np.log2(num_tiles))
     for level in range(levels):
         ia, ib, la = _level_splits(x, level, num_tiles)
-        xin = _pad_rows(x, TILE_ROWS + 8).reshape(-1, LANES)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(num_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((TILE_ROWS, LANES), lambda t, *_: (t, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((TILE_ROWS + 8, LANES), jnp.int32),
-                pltpu.VMEM((TILE_ROWS + 8, LANES), jnp.int32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-            ],
-        )
-        x = pl.pallas_call(
-            _merge_kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((num_tiles * TILE_ROWS, LANES),
-                                           jnp.int32),
-            interpret=_interpret(),
-        )(ia, ib, la, xin).reshape(-1)
+        x = merge_level(x, ia, ib, la)
 
     return x[:n]

@@ -25,6 +25,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULTS = {}
 
+# single-chip HBM bandwidth for roofline accounting (GB/s)
+HBM_GBS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5": 2765.0}
+
+
+def _hbm_gbs():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    return next((v for k, v in HBM_GBS.items() if kind.startswith(k)), None)
+
 
 def record(name, **kw):
     RESULTS[name] = kw
@@ -81,9 +91,13 @@ def config2():
     from radix_sort_tpu import sort_kv, golden
     from radix_sort_tpu import datasets as ds_lib
 
-    n = 1 << 20
+    # RST_CFG2_LOG2N=27 publishes the BASELINE headline metric ("u32 KV sort
+    # keys/s/chip at 2^27"); the 2^20 default keeps dev runs cheap.
+    log2n = int(os.environ.get("RST_CFG2_LOG2N", "20"))
+    n = 1 << log2n
     vals = np.arange(n, dtype=np.int32)
     dtype_sel = os.environ.get("RST_CFG2_DTYPES", "u32,u64").split(",")
+    hbm_gbs = _hbm_gbs()
     for dt, dname in ((np.uint32, "u32"), (np.uint64, "u64")):
         if dname not in dtype_sel:
             continue
@@ -97,7 +111,24 @@ def config2():
         chained = jax.jit(lambda a, r: jax.lax.fori_loop(
             0, r, lambda _, v: step(v), a))
         full = jax.jit(lambda k, v: sort_kv(k, v, engine=eng))
-        reps = 64  # same noise-floor rationale as timed()
+        # Full on-device stable-KV validation (payload = iota): sorted keys
+        # + keys match input at the permutation + payload is a permutation
+        # + ties keep input order.  Together these pin the output to THE
+        # unique stable sort — no host pull of n-sized arrays (tunnel cost).
+        def _check(k_in, k_out, v_out):
+            sorted_ok = jnp.all(k_out[1:] >= k_out[:-1])
+            perm_ok = (jnp.sum(v_out.astype(jnp.uint32))
+                       == jnp.sum(jnp.arange(n, dtype=jnp.uint32))) & \
+                (jnp.bitwise_xor.reduce(v_out.astype(jnp.uint32))
+                 == jnp.bitwise_xor.reduce(jnp.arange(n, dtype=jnp.uint32)))
+            match_ok = jnp.all(jnp.take(k_in, v_out) == k_out)
+            stable_ok = jnp.all((k_out[1:] > k_out[:-1])
+                                | (v_out[1:] > v_out[:-1]))
+            return sorted_ok & perm_ok & match_ok & stable_ok
+        check = jax.jit(_check)
+        # scale reps down with n: at 2^27 one KV sort is O(100 ms) so even
+        # reps=4 gives chained extra work >> the tunnel's O(10 ms) jitter.
+        reps = int(min(64, max(4, (1 << 22) // n * 64 or 4)))
         r1, rR = jnp.int32(1), jnp.int32(reps)
 
         def sync(o):
@@ -106,24 +137,65 @@ def config2():
         for ds in ds_lib.make_datasets(dt, seed=1):
             if ds.name == "RandomDistributed":
                 continue  # config names zeros/range/inverted/random
-            data = ds.generate(n)
-            kd = jax.device_put(jnp.asarray(data))
-            sync(chained(kd, r1)); sync(chained(kd, rR))
+            if n <= (1 << 22):
+                data = ds.generate(n)
+                kd = jax.device_put(jnp.asarray(data))
+            else:
+                # big-n: generate the distribution ON DEVICE (uploading
+                # 0.5-1 GB per row over the dev tunnel is minutes each);
+                # validation is the on-device stable-KV proof above.
+                from radix_sort_tpu import datasets_device
+
+                data = None
+                kd = datasets_device.generate(ds.name, dt, n, seed=1)
+                kd.block_until_ready()
+            try:
+                sync(chained(kd, r1)); sync(chained(kd, rR))
+                run1 = lambda a: chained(a, r1)    # noqa: E731
+                runR = lambda a: chained(a, rR)    # noqa: E731
+            except Exception as e:  # noqa: BLE001
+                # fori-wrapped 64-bit sorts can blow XLA's scoped-vmem
+                # budget at specific sizes (docs/PROBES.md) — unrolled chain
+                # fallback, reps capped to bound the unrolled compile.
+                reps = min(reps, 4)
+                print(f"# config2 fori chain failed ({type(e).__name__}); "
+                      f"unrolled fallback reps={reps}", flush=True)
+
+                def unrolled(r):
+                    def _f(a):
+                        for _ in range(r):
+                            a = step(a)
+                        return a
+                    return jax.jit(_f)
+                u1, uR = unrolled(1), unrolled(reps)
+                run1 = lambda a: u1(a)    # noqa: E731
+                runR = lambda a: uR(a)    # noqa: E731
+                sync(run1(kd)); sync(runR(kd))
             t1 = tr = 1e9
             for _ in range(2):
-                t0 = time.perf_counter(); sync(chained(kd, r1))
+                t0 = time.perf_counter(); sync(run1(kd))
                 t1 = min(t1, time.perf_counter() - t0)
-                t0 = time.perf_counter(); sync(chained(kd, rR))
+                t0 = time.perf_counter(); sync(runR(kd))
                 tr = min(tr, time.perf_counter() - t0)
             secs = max(1e-9, (tr - t1) / (reps - 1))
             k_out, v_out = full(kd, vd)
-            perm = golden.oracle_argsort(data)
-            ok = np.array_equal(np.asarray(k_out), data[perm]) and \
-                np.array_equal(np.asarray(v_out), vals[perm])
+            if n <= (1 << 22):
+                perm = golden.oracle_argsort(data)
+                ok = np.array_equal(np.asarray(k_out), data[perm]) and \
+                    np.array_equal(np.asarray(v_out), vals[perm])
+            else:
+                ok = bool(check(kd, k_out, v_out))
+            extra = {}
+            if hbm_gbs:
+                # minimum traffic: one read + one write of keys + payload
+                min_bytes = 2 * n * (np.dtype(dt).itemsize + 4)
+                extra["roofline_frac"] = round(
+                    (min_bytes / secs) / (hbm_gbs * 1e9), 4)
             record(f"config2_kv_{dname}_{ds.name}"
+                   + (f"_2^{log2n}" if log2n != 20 else "")
                    + (f"_{eng}" if eng else ""),
                    mpairs_per_s=round(n / secs / 1e6, 1), valid=bool(ok),
-                   engine=eng or "auto")
+                   n=n, engine=eng or "auto", **extra)
 
 
 def config3():
@@ -131,7 +203,7 @@ def config3():
     from radix_sort_tpu.table import Table
     from radix_sort_tpu.ops import filter as filt, aggregate
 
-    n = 1 << 20
+    n = 1 << int(os.environ.get("RST_CFG34_LOG2N", "20"))
     rng = np.random.default_rng(3)
     keys = rng.integers(0, 1000, n).astype(np.uint32)
     vals = rng.integers(0, 100, n).astype(np.int32)
