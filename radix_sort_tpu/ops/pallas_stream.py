@@ -529,6 +529,43 @@ def _boundary_fixup(out2d, heads, tails, dstart, totals, radix):
     return out2d
 
 
+def _one_pass(cur, radix, rows, padded, shift):
+    """One streaming pass over a tuple of padded int32 planes: digits come
+    from plane 0 at ``shift``; every plane rides the identical stable
+    permutation.  Returns (planes_out, per-digit totals).  Degenerate
+    passes (all elements share the digit) collapse to identity — the
+    reference's CPU early-exit (CRadixSortCPU.h) done on device."""
+    from . import pallas_radix as pr
+
+    tile = rows * LANES
+    B = padded // tile
+
+    digits = jax.lax.shift_right_logical(
+        jax.lax.bitcast_convert_type(cur[0], jnp.uint32),
+        jnp.uint32(shift)).astype(jnp.int32) & (radix - 1)
+    hist = pr.digit_histogram(digits, radix, tile)        # (B, R)
+    totals = jnp.sum(hist, axis=0, dtype=jnp.int32)
+    flat = hist.T.reshape(-1)
+    scanned = pr.exclusive_scan(flat)
+    base_tbl = scanned.reshape(radix, B).T.astype(jnp.int32)
+    dstart = base_tbl[0, :]
+
+    def run_pass(cur):
+        outs, heads, tails = _radix_pass(
+            cur, base_tbl, hist.astype(jnp.int32), radix, rows, shift)
+        fixed = []
+        for p in range(len(cur)):
+            o = _boundary_fixup(
+                outs[p], heads[p * radix:(p + 1) * radix],
+                tails[p * radix:(p + 1) * radix], dstart, totals,
+                radix)
+            fixed.append(o.reshape(-1))
+        return tuple(fixed)
+
+    degenerate = jnp.max(totals) == padded
+    return jax.lax.cond(degenerate, lambda c: c, run_pass, cur), totals
+
+
 def _sort_planes(planes, digit_sel, radix, rows, n, padded):
     """Generic streaming LSD driver: ``planes`` is a tuple of padded int32
     planes; ``digit_sel`` gives, per pass, (plane_index, shift).  Digits
@@ -536,45 +573,12 @@ def _sort_planes(planes, digit_sel, radix, rows, n, padded):
     planes per pass (free renaming in XLA) — one kernel compile serves
     every pass, dtype width, and payload count.
     """
-    from . import pallas_radix as pr
-
-    tile = rows * LANES
-    B = padded // tile
     NP = len(planes)
-
     for p_idx, shift in digit_sel:
         order = (p_idx,) + tuple(i for i in range(NP) if i != p_idx)
         inv = tuple(order.index(i) for i in range(NP))
         cur = tuple(planes[i] for i in order)
-
-        digits = jax.lax.shift_right_logical(
-            jax.lax.bitcast_convert_type(cur[0], jnp.uint32),
-            jnp.uint32(shift)).astype(jnp.int32) & (radix - 1)
-        hist = pr.digit_histogram(digits, radix, tile)        # (B, R)
-        totals = jnp.sum(hist, axis=0, dtype=jnp.int32)
-        flat = hist.T.reshape(-1)
-        scanned = pr.exclusive_scan(flat)
-        base_tbl = scanned.reshape(radix, B).T.astype(jnp.int32)
-        dstart = base_tbl[0, :]
-
-        def run_pass(cur, base_tbl=base_tbl, hist=hist, dstart=dstart,
-                     totals=totals, shift=shift):
-            outs, heads, tails = _radix_pass(
-                cur, base_tbl, hist.astype(jnp.int32), radix, rows,
-                shift)
-            fixed = []
-            for p in range(len(cur)):
-                o = _boundary_fixup(
-                    outs[p], heads[p * radix:(p + 1) * radix],
-                    tails[p * radix:(p + 1) * radix], dstart, totals,
-                    radix)
-                fixed.append(o.reshape(-1))
-            return tuple(fixed)
-
-        # degenerate pass (all keys share the digit) → identity; the
-        # reference's CPU early-exit (CRadixSortCPU.h) done on device.
-        degenerate = jnp.max(totals) == padded
-        cur = jax.lax.cond(degenerate, lambda c: c, run_pass, cur)
+        cur, _ = _one_pass(cur, radix, rows, padded, shift)
         planes = tuple(cur[inv[i]] for i in range(NP))
     return planes
 
@@ -598,22 +602,140 @@ def _round_rows(n: int, rows: int) -> int:
     return -(-max(8, min(rows, -(-n // LANES))) // 8) * 8
 
 
-def sort_u32_keys(keys_u32: jnp.ndarray, radix: int = 16,
-                  rows: int = 128) -> jnp.ndarray:
-    """Full LSD sort of uint32 keys via streaming passes (key-only).
+def _next_pow2(v: int) -> int:
+    p = 1
+    while p < v:
+        p <<= 1
+    return p
+
+
+def _key_word_planes(keys_u):
+    """Split an unsigned key vector into uint32 word planes (LSD order)
+    plus their max-sentinel pad fills: one plane for 32-bit keys, (lo, hi)
+    for 64-bit — no 64-bit vector ops ever reach Mosaic."""
+    if np.dtype(keys_u.dtype).itemsize == 4:
+        return (keys_u,), (jnp.uint32(0xFFFFFFFF),)
+    lo = (keys_u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = jax.lax.shift_right_logical(
+        keys_u, jnp.uint64(32)).astype(jnp.uint32)
+    return (lo, hi), (jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF))
+
+
+def _join_key_word_planes(word_planes_i32, dtype, n):
+    """Rebuild keys from sorted int32 word planes (inverse of
+    :func:`_key_word_planes`), sliced to ``n``."""
+    if np.dtype(dtype).itemsize == 4:
+        return jax.lax.bitcast_convert_type(word_planes_i32[0],
+                                            jnp.uint32)[:n]
+    lo_u = jax.lax.bitcast_convert_type(word_planes_i32[0], jnp.uint32)[:n]
+    hi_u = jax.lax.bitcast_convert_type(word_planes_i32[1], jnp.uint32)[:n]
+    return (hi_u.astype(jnp.uint64) << jnp.uint64(32)) | lo_u.astype(
+        jnp.uint64)
+
+
+def sort_planes(keys_u, payload_planes_i32=(), radix: int = 16,
+                rows: int = 128, total_bits: int | None = None):
+    """Generic stable LSD sort: unsigned 32/64-bit keys plus ANY number of
+    int32 payload planes, all riding the identical permutation every pass
+    (the N-plane capability the reference's PERMUT machinery stubbed out,
+    src/RadixSortGPU.cpp:578).  Returns (keys_out, payload_planes_out).
 
     Pads to a tile multiple with the max sentinel; each pass is histogram
     (pallas_radix kernels) → digit-major scan → streaming scatter kernel →
     XLA boundary fixup; degenerate passes are skipped.
+
+    ``total_bits`` caps the sorted key width when the caller KNOWS every
+    key is < 2**total_bits (the reference's data-dependent pass count,
+    src/CRadixSortCPU.h:57-72, as a static hint): fewer passes traced,
+    not just skipped.
     """
-    n = keys_u32.shape[0]
+    n = keys_u.shape[0]
     rows = _round_rows(n, rows)
-    planes, padded = _pad_planes((keys_u32,), (jnp.uint32(0xFFFFFFFF),),
-                                 rows * LANES)
+    kplanes, kfills = _key_word_planes(keys_u)
+    nk = len(kplanes)
+    planes, padded = _pad_planes(
+        kplanes + tuple(payload_planes_i32),
+        kfills + (jnp.int32(0),) * len(payload_planes_i32), rows * LANES)
     bits_per = int(np.log2(radix))
-    sel = [(0, p * bits_per) for p in range(-(-32 // bits_per))]
-    out = _sort_planes(planes, sel, radix, rows, n, padded)[0]
-    return jax.lax.bitcast_convert_type(out, jnp.uint32)[:n]
+    kbits = 8 * np.dtype(keys_u.dtype).itemsize if total_bits is None \
+        else total_bits
+    sel = []
+    for w in range(nk):
+        wbits = min(32, kbits - 32 * w)
+        sel += [(w, p * bits_per) for p in range(-(-wbits // bits_per))]
+    out = _sort_planes(planes, sel, radix, rows, n, padded)
+    keys_out = _join_key_word_planes(out[:nk], keys_u.dtype, n)
+    return keys_out, tuple(v[:n] for v in out[nk:])
+
+
+def partition_planes(bucket_ids, planes_i32, num_buckets: int,
+                     rows: int = 128):
+    """Streaming stable partition: ONE radix pass moves every plane into
+    bucket-major order — 2 passes/byte of HBM traffic where a
+    ``lax.sort``-backed stable partition pays a full sort network.
+
+    ``bucket_ids`` must be int32-representable in [0, num_buckets).
+    Padding rows carry bucket id ``num_buckets - 1``: stability puts them
+    after every real row of the last bucket, i.e. exactly at positions
+    [n, padded) — so outputs slice to [:n] and only the last bucket's
+    count needs the pad correction.
+
+    Returns (partitioned planes [:n], counts (num_buckets,) int32).
+    """
+    n = bucket_ids.shape[0]
+    rows = _round_rows(n, rows)
+    radix = max(2, _next_pow2(num_buckets))
+    ids = bucket_ids.astype(jnp.int32)
+    planes, padded = _pad_planes(
+        (ids,) + tuple(planes_i32),
+        (jnp.int32(num_buckets - 1),) + (jnp.int32(0),) * len(planes_i32),
+        rows * LANES)
+    out, totals = _one_pass(planes, radix, rows, padded, jnp.int32(0))
+    pad_fix = jnp.where(
+        jnp.arange(num_buckets, dtype=jnp.int32) == num_buckets - 1,
+        jnp.int32(padded - n), jnp.int32(0))
+    counts = totals[:num_buckets] - pad_fix
+    return tuple(v[:n] for v in out[1:]), counts
+
+
+def payloads_to_planes(payloads):
+    """Map 1-D payload arrays to int32 planes: 4-byte dtypes bitcast to one
+    plane, 8-byte dtypes split into (lo, hi) word planes.  Returns
+    (planes, specs) for :func:`planes_to_payloads`, or (None, None) when a
+    dtype is not plane-representable (caller falls back)."""
+    planes, specs = [], []
+    for p in payloads:
+        isz = np.dtype(p.dtype).itemsize
+        if isz == 4:
+            planes.append(jax.lax.bitcast_convert_type(p, jnp.int32))
+            specs.append((np.dtype(p.dtype), 1))
+        elif isz == 8:
+            w = jax.lax.bitcast_convert_type(p, jnp.int32)   # (n, 2)
+            planes.append(w[:, 0])
+            planes.append(w[:, 1])
+            specs.append((np.dtype(p.dtype), 2))
+        else:
+            return None, None
+    return tuple(planes), tuple(specs)
+
+
+def planes_to_payloads(planes, specs):
+    """Inverse of :func:`payloads_to_planes`."""
+    out, i = [], 0
+    for dtype, k in specs:
+        if k == 1:
+            out.append(jax.lax.bitcast_convert_type(planes[i], dtype))
+        else:
+            w = jnp.stack([planes[i], planes[i + 1]], axis=-1)  # (n, 2)
+            out.append(jax.lax.bitcast_convert_type(w, dtype))  # (n,)
+        i += k
+    return tuple(out)
+
+
+def sort_u32_keys(keys_u32: jnp.ndarray, radix: int = 16,
+                  rows: int = 128) -> jnp.ndarray:
+    """Full LSD sort of uint32 keys via streaming passes (key-only)."""
+    return sort_planes(keys_u32, (), radix, rows)[0]
 
 
 def sort_u32_kv(keys_u32: jnp.ndarray, values_i32: jnp.ndarray,
@@ -621,15 +743,8 @@ def sort_u32_kv(keys_u32: jnp.ndarray, values_i32: jnp.ndarray,
     """Stable KV sort: the payload plane rides the identical permutation
     through every pass (the capability the reference stubbed out —
     PERMUT, src/RadixSortGPU.cpp:578)."""
-    n = keys_u32.shape[0]
-    rows = _round_rows(n, rows)
-    planes, padded = _pad_planes(
-        (keys_u32, values_i32), (jnp.uint32(0xFFFFFFFF),
-                                 jnp.int32(0)), rows * LANES)
-    bits_per = int(np.log2(radix))
-    sel = [(0, p * bits_per) for p in range(-(-32 // bits_per))]
-    ko, vo = _sort_planes(planes, sel, radix, rows, n, padded)
-    return (jax.lax.bitcast_convert_type(ko, jnp.uint32)[:n], vo[:n])
+    ko, (vo,) = sort_planes(keys_u32, (values_i32,), radix, rows)
+    return ko, vo
 
 
 def sort_u64_kv(keys_u64: jnp.ndarray, values_i32: jnp.ndarray,
@@ -637,46 +752,12 @@ def sort_u64_kv(keys_u64: jnp.ndarray, values_i32: jnp.ndarray,
     """Stable 64-bit KV sort: (lo, hi) key planes + one payload plane all
     ride the same per-pass permutation (BASELINE config2's u64 KV shape on
     the streaming engine)."""
-    n = keys_u64.shape[0]
-    rows = _round_rows(n, rows)
-    lo = (keys_u64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    hi = jax.lax.shift_right_logical(
-        keys_u64, jnp.uint64(32)).astype(jnp.uint32)
-    planes, padded = _pad_planes(
-        (lo, hi, values_i32),
-        (jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF), jnp.int32(0)),
-        rows * LANES)
-    bits_per = int(np.log2(radix))
-    per_word = -(-32 // bits_per)
-    sel = ([(0, p * bits_per) for p in range(per_word)]
-           + [(1, p * bits_per) for p in range(per_word)])
-    lo_o, hi_o, vo = _sort_planes(planes, sel, radix, rows, n, padded)
-    lo_u = jax.lax.bitcast_convert_type(lo_o, jnp.uint32)[:n]
-    hi_u = jax.lax.bitcast_convert_type(hi_o, jnp.uint32)[:n]
-    keys_out = (hi_u.astype(jnp.uint64) << jnp.uint64(32)) | \
-        lo_u.astype(jnp.uint64)
-    return keys_out, vo[:n]
+    ko, (vo,) = sort_planes(keys_u64, (values_i32,), radix, rows)
+    return ko, vo
 
 
 def sort_u64_keys(keys_u64: jnp.ndarray, radix: int = 16,
                   rows: int = 128) -> jnp.ndarray:
     """64-bit sort as two 32-bit planes: low-word passes first, then
-    high-word passes (LSD order), both planes permuted together — no
-    64-bit vector ops ever reach Mosaic."""
-    n = keys_u64.shape[0]
-    rows = _round_rows(n, rows)
-    lo = (keys_u64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    hi = jax.lax.shift_right_logical(
-        keys_u64, jnp.uint64(32)).astype(jnp.uint32)
-    planes, padded = _pad_planes(
-        (lo, hi), (jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF)),
-        rows * LANES)
-    bits_per = int(np.log2(radix))
-    per_word = -(-32 // bits_per)
-    sel = ([(0, p * bits_per) for p in range(per_word)]
-           + [(1, p * bits_per) for p in range(per_word)])
-    lo_o, hi_o = _sort_planes(planes, sel, radix, rows, n, padded)
-    lo_u = jax.lax.bitcast_convert_type(lo_o, jnp.uint32)[:n]
-    hi_u = jax.lax.bitcast_convert_type(hi_o, jnp.uint32)[:n]
-    return (hi_u.astype(jnp.uint64) << jnp.uint64(32)) | lo_u.astype(
-        jnp.uint64)
+    high-word passes (LSD order), both planes permuted together."""
+    return sort_planes(keys_u64, (), radix, rows)[0]

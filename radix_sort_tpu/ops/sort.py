@@ -19,8 +19,8 @@ Engines:
     shapes fall back to xla_sort.
   - ``pallas_stream``: the streaming radix-scatter engine
     (ops/pallas_stream.py) — the scatter-free TPU-native reorder; stable,
-    32/64-bit keys, key-only or one 32-bit payload plane (other shapes
-    fall back to xla_sort).
+    32/64-bit keys, any number of 4/8-byte payload columns as int32
+    planes (other payload widths fall back to xla_sort).
   - ``auto``:      current best for the active backend.
 
 All engines route keys through the order-preserving unsigned transform
@@ -130,32 +130,21 @@ def _sort_biased_jit(keys_u, payloads, config: SortConfig, n: int):
 def _pallas_stream_engine(keys_u, payloads, n):
     """Streaming radix-scatter engine (ops/pallas_stream.py): the fully
     TPU-native reorder (lane gathers + one-hot MXU row-combines +
-    carry-chained row DMAs), stable by construction.  Covers 32-bit keys
-    (key-only and one 32-bit payload plane) and 64-bit keys (as lo/hi
-    planes, key-only and one 32-bit payload plane); remaining shapes
-    fall back to xla_sort.  Bit-exact on v5e
-    across all reference distributions; see docs/DESIGN.md §2.2c for the
-    measured performance frontier analysis."""
+    carry-chained row DMAs), stable by construction.  Covers 32- and
+    64-bit keys with ANY number of 4- or 8-byte payload columns — every
+    payload maps to int32 planes (8-byte dtypes as lo/hi word pairs) and
+    all planes ride the kernel's single per-pass permutation, so
+    Table/multi-column sorts dispatch here natively.  Payloads with other
+    widths fall back to xla_sort.  Bit-exact on v5e across all reference
+    distributions; see docs/DESIGN.md §2.2c for the measured performance
+    frontier analysis."""
     from . import pallas_stream
 
-    bits = dtypes.key_bits(keys_u.dtype)
-    if bits == 32 and not payloads:
-        return pallas_stream.sort_u32_keys(keys_u), ()
-    if (bits == 32 and len(payloads) == 1
-            and np.dtype(payloads[0].dtype).itemsize == 4):
-        p = payloads[0]
-        ko, po = pallas_stream.sort_u32_kv(
-            keys_u, jax.lax.bitcast_convert_type(p, jnp.int32))
-        return ko, (jax.lax.bitcast_convert_type(po, p.dtype),)
-    if bits == 64 and not payloads:
-        return pallas_stream.sort_u64_keys(keys_u), ()
-    if (bits == 64 and len(payloads) == 1
-            and np.dtype(payloads[0].dtype).itemsize == 4):
-        p = payloads[0]
-        ko, po = pallas_stream.sort_u64_kv(
-            keys_u, jax.lax.bitcast_convert_type(p, jnp.int32))
-        return ko, (jax.lax.bitcast_convert_type(po, p.dtype),)
-    return _xla_sort_engine(keys_u, payloads, n)
+    planes, specs = pallas_stream.payloads_to_planes(payloads)
+    if planes is None:
+        return _xla_sort_engine(keys_u, payloads, n)
+    ko, pouts = pallas_stream.sort_planes(keys_u, planes)
+    return ko, pallas_stream.planes_to_payloads(pouts, specs)
 
 
 def _pallas_merge_engine(keys_u, payloads, n):

@@ -82,9 +82,13 @@ def _capacity_attempts(base: int, per_dev: int):
                    max(1, min(per_dev, base * 4)), max(1, per_dev)})
 
 
-def _hash_dest(keys, num_devices: int) -> jnp.ndarray:
-    """Multiplicative (Fibonacci) hash of the biased key → destination chip.
-    Equal keys map to equal chips — the partitioned-hash-join invariant."""
+def _hash_dest_sub(keys, num_devices: int, num_sub: int = 1):
+    """Multiplicative (Fibonacci) hash of the biased key → (destination
+    chip, overlap sub-chunk).  Equal keys map to equal (chip, sub-chunk)
+    pairs — the partitioned-hash-join invariant, extended so per-sub-chunk
+    local operators see every row of a group and their outputs simply
+    concatenate.  Chip comes from the hash's top 16 bits, sub-chunk from
+    the next 16 (independent enough for load-splitting)."""
     u = dtypes.to_sortable_unsigned(keys)
     if np.dtype(u.dtype).itemsize == 8:
         h = u * _GOLDEN64
@@ -98,76 +102,124 @@ def _hash_dest(keys, num_devices: int) -> jnp.ndarray:
         bits = 32
     top = (h >> dtypes._np_scalar(np.dtype(h.dtype), bits - 16)).astype(
         jnp.uint32)
-    return (top % np.uint32(num_devices)).astype(jnp.int32)
+    dest = (top % np.uint32(num_devices)).astype(jnp.int32)
+    if num_sub == 1:
+        return dest, jnp.zeros_like(dest)
+    nxt = ((h >> dtypes._np_scalar(np.dtype(h.dtype), bits - 32))
+           & dtypes._np_scalar(np.dtype(h.dtype), 0xFFFF)).astype(jnp.uint32)
+    return dest, (nxt % np.uint32(num_sub)).astype(jnp.int32)
 
 
-def _shuffle_table(table_cols: Mapping, valid, key: str, D, axis, capacity):
-    """Hash-shuffle rows; returns (cols dict, kept count, overflow)."""
+def _hash_dest(keys, num_devices: int) -> jnp.ndarray:
+    """Destination chip only (compat wrapper around _hash_dest_sub)."""
+    return _hash_dest_sub(keys, num_devices)[0]
+
+
+def _shuffle_table_chunks(table_cols: Mapping, valid, key: str, D, axis,
+                          capacity, overlap_chunks: int = 1):
+    """Hash-shuffle rows in ``overlap_chunks`` independently exchanged
+    sub-chunks; returns a list of (cols dict, kept count, overflow) per
+    sub-chunk.
+
+    ONE (sub, dest)-major stable partition up front feeds every exchange
+    (the dist_sort overlap discipline, dist_sort.py::_dist_sort_shard):
+    sub-chunk g's all_to_all has no data dependency on sub-chunk g-1's
+    local aggregate/probe compute, so XLA's async-collective scheduler
+    overlaps exchange with compute — the north star's "exchange overlapped
+    with per-chip sort/probe compute" for the hash operators."""
+    G = max(1, overlap_chunks)
     names = tuple(sorted(table_cols))
     arrays = tuple(table_cols[n] for n in names)
-    dest = _hash_dest(table_cols[key], D)
-    # Padding rows are never shipped: drop_mask routes them to the virtual
-    # bucket (no packed slot, no dead wire traffic, no shipped validity
-    # column) — received rows are valid by construction, so slot validity
+    dest, sub = _hash_dest_sub(table_cols[key], D, G)
+    # Padding rows are never shipped: they route to the virtual bucket
+    # past the last (sub, dest) pair (no packed slot, no dead wire
+    # traffic) — received rows are valid by construction, so slot validity
     # alone (from recv_counts) identifies live rows.
+    bucket = jnp.where(valid, sub * D + dest, jnp.int32(G * D))
     fills = tuple(jnp.zeros((), a.dtype) for a in arrays)
-    recv, recv_counts, overflow = exchange.ragged_all_to_all(
-        arrays, dest, D, capacity, axis, fills,
-        drop_mask=jnp.logical_not(valid))
-    row_ok = exchange.slot_valid_mask(D, capacity, recv_counts)
-    compacted, kept = part_ops.compact_mask(row_ok, recv)
-    return dict(zip(names, compacted)), kept, overflow
+    parted, cnts, starts = part_ops.stable_partition(bucket, arrays,
+                                                     G * D + 1)
+    out = []
+    for g in range(G):
+        recv, rcounts, ovf = exchange.packed_all_to_all(
+            parted, cnts[g * D:(g + 1) * D], starts[g * D:(g + 1) * D],
+            D, capacity, axis, fills)
+        row_ok = exchange.slot_valid_mask(D, capacity, rcounts)
+        compacted, kept = part_ops.compact_mask(row_ok, recv)
+        out.append((dict(zip(names, compacted)), kept, ovf))
+    return out
 
 
 def dist_hash_aggregate(table: Table, key: str,
                         aggs: Mapping, mesh: Mesh | None = None,
                         axis: str = mesh_lib.DATA_AXIS,
                         capacity_factor: float = 2.5,
-                        config: SortConfig = DEFAULT_CONFIG):
+                        config: SortConfig = DEFAULT_CONFIG,
+                        overlap_chunks: int = 2):
     """GROUP BY over a row-sharded table.  Returns (ShardedTable, overflow).
 
     Shuffle-capacity overflow (hash skew: few distinct keys concentrate on
     few chips) escalates host-side like dist_sort — the final attempt's
-    capacity equals the per-source row count and cannot overflow."""
+    capacity equals the per-source row count and cannot overflow.
+
+    ``overlap_chunks`` > 1 (the default) splits the shuffle into hash
+    sub-ranges whose all_to_all exchanges overlap the previous sub-chunk's
+    local aggregation; equal keys share a sub-chunk, so per-chunk group
+    sets are disjoint and simply concatenate."""
     if mesh is None:
         mesh = mesh_lib.make_mesh()
     D = mesh.devices.size
+    G = max(1, overlap_chunks)
     cap_rows = table.capacity
     if cap_rows % D:
         raise ValueError(f"table capacity {cap_rows} must be divisible by "
                          f"mesh size {D} (pad the table)")
     per_dev = cap_rows // D
-    base_cap = int(np.ceil(capacity_factor * per_dev / D))
+    base_cap = int(np.ceil(capacity_factor * per_dev / (D * G)))
     aggs_t = tuple(sorted((n, tuple(v)) for n, v in aggs.items()))
     col_names = tuple(sorted(table.columns))
+    out_names = _agg_out_names(table, key, aggs)
 
     for capacity in _capacity_attempts(base_cap, per_dev):
-        slot_cap = D * capacity  # received rows/chip = local agg capacity
+        slot_cap = G * D * capacity  # stitched per-chunk agg capacities
 
         def build(capacity=capacity):
             def shard_fn(cols, num_rows):
                 local_valid = (jnp.arange(per_dev, dtype=jnp.int32)
                                + jax.lax.axis_index(axis) * per_dev
                                ) < num_rows
-                shuffled, kept, overflow = _shuffle_table(
-                    cols, local_valid, key, D, axis, capacity)
-                local = Table(shuffled, num_rows=kept)
-                out = agg_ops.hash_aggregate(local, key, aggs,
-                                             config=config)
-                return (out.columns, out.num_rows[None],
+                chunks = _shuffle_table_chunks(
+                    cols, local_valid, key, D, axis, capacity, G)
+                parts, part_rows = [], []
+                overflow = jnp.zeros((), bool)
+                for scols, kept, ovf in chunks:
+                    out = agg_ops.hash_aggregate(
+                        Table(scols, num_rows=kept), key, aggs,
+                        config=config)
+                    parts.append(out)
+                    part_rows.append(out.num_rows)
+                    overflow = jnp.logical_or(overflow, ovf)
+                # stitch: valid group rows of each sub-chunk, in g order
+                # (groups are disjoint across sub-chunks by hashing).
+                m = parts[0].capacity
+                validmask = jnp.concatenate(
+                    [jnp.arange(m, dtype=jnp.int32) < r for r in part_rows])
+                cat = tuple(
+                    jnp.concatenate([p.columns[n] for p in parts])
+                    for n in out_names)
+                packed, total = part_ops.compact_mask(validmask, cat)
+                return (dict(zip(out_names, packed)), total[None],
                         jax.lax.psum(overflow.astype(jnp.int32), axis))
 
             return jax.shard_map(
                 shard_fn, mesh=mesh,
                 in_specs=({n: P(axis) for n in table.columns}, P()),
-                out_specs=({n: P(axis)
-                            for n in _agg_out_names(table, key, aggs)},
-                           P(axis), P()),
+                out_specs=({n: P(axis) for n in out_names}, P(axis), P()),
             )
 
         jitted = _cached_jit(
             ("agg", id(mesh), axis, capacity, per_dev, key, aggs_t, config,
-             col_names), mesh, build)
+             col_names, G), mesh, build)
         out_cols, rows, overflow = jitted(dict(table.columns),
                                           table.num_rows)
         if not bool(overflow > 0):
@@ -258,19 +310,26 @@ def dist_hash_join(probe: Table, build: Table, key: str,
                    capacity_factor: float = 2.5,
                    max_duplicates: int = 1,
                    suffixes=("", "_r"),
-                   config: SortConfig = DEFAULT_CONFIG):
+                   config: SortConfig = DEFAULT_CONFIG,
+                   overlap_chunks: int = 2):
     """Distributed inner join of row-sharded tables.
-    Returns (ShardedTable, stats) with psum'd match_count and overflow."""
+    Returns (ShardedTable, stats) with psum'd match_count and overflow.
+
+    ``overlap_chunks`` > 1 (the default) splits BOTH tables' shuffles into
+    the same hash sub-ranges (equal keys meet in the same sub-chunk on the
+    same chip), so sub-chunk g's exchange overlaps sub-chunk g-1's local
+    build+probe compute and per-chunk match sets concatenate."""
     if mesh is None:
         mesh = mesh_lib.make_mesh()
     D = mesh.devices.size
+    G = max(1, overlap_chunks)
     for t, nm in ((probe, "probe"), (build, "build")):
         if t.capacity % D:
             raise ValueError(f"{nm} capacity {t.capacity} not divisible by "
                              f"mesh size {D}")
     p_per, b_per = probe.capacity // D, build.capacity // D
-    p_base = int(np.ceil(capacity_factor * p_per / D))
-    b_base = int(np.ceil(capacity_factor * b_per / D))
+    p_base = int(np.ceil(capacity_factor * p_per / (D * G)))
+    b_base = int(np.ceil(capacity_factor * b_per / (D * G)))
 
     # output column names: computed like ops/join.py
     out_names = []
@@ -290,7 +349,7 @@ def dist_hash_join(probe: Table, build: Table, key: str,
     for i in range(n_attempts):
         p_cap = p_attempts[min(i, len(p_attempts) - 1)]
         b_cap = b_attempts[min(i, len(b_attempts) - 1)]
-        out_slot_cap = D * p_cap * max_duplicates
+        out_slot_cap = G * D * p_cap * max_duplicates
 
         def build_fn(p_cap=p_cap, b_cap=b_cap):
             def shard_fn(p_cols, p_rows, b_cols, b_rows):
@@ -299,20 +358,38 @@ def dist_hash_join(probe: Table, build: Table, key: str,
                       + me * p_per) < p_rows
                 bv = (jnp.arange(b_per, dtype=jnp.int32)
                       + me * b_per) < b_rows
-                ps, p_kept, p_over = _shuffle_table(p_cols, pv, key, D,
-                                                    axis, p_cap)
-                bs, b_kept, b_over = _shuffle_table(b_cols, bv, key, D,
-                                                    axis, b_cap)
-                out, stats = join_ops.hash_join(
-                    Table(ps, num_rows=p_kept), Table(bs, num_rows=b_kept),
-                    key, max_duplicates=max_duplicates, suffixes=suffixes,
-                    config=config)
-                shuffle_over = jnp.logical_or(p_over, b_over)
-                return (out.columns, out.num_rows[None],
-                        jax.lax.psum(stats["match_count"], axis),
+                p_chunks = _shuffle_table_chunks(p_cols, pv, key, D, axis,
+                                                 p_cap, G)
+                b_chunks = _shuffle_table_chunks(b_cols, bv, key, D, axis,
+                                                 b_cap, G)
+                parts, part_rows = [], []
+                matches = jnp.zeros((), jnp.int32)
+                shuffle_over = jnp.zeros((), bool)
+                join_over = jnp.zeros((), bool)
+                for (ps, p_kept, p_over), (bs, b_kept, b_over) in zip(
+                        p_chunks, b_chunks):
+                    out, stats = join_ops.hash_join(
+                        Table(ps, num_rows=p_kept),
+                        Table(bs, num_rows=b_kept),
+                        key, max_duplicates=max_duplicates,
+                        suffixes=suffixes, config=config)
+                    parts.append(out)
+                    part_rows.append(out.num_rows)
+                    matches = matches + stats["match_count"]
+                    shuffle_over = shuffle_over | p_over | b_over
+                    join_over = join_over | stats["overflow"]
+                # stitch per-chunk match sets (disjoint by hashing).
+                m = parts[0].capacity
+                validmask = jnp.concatenate(
+                    [jnp.arange(m, dtype=jnp.int32) < r for r in part_rows])
+                cat = tuple(
+                    jnp.concatenate([p.columns[n] for p in parts])
+                    for n in out_names)
+                packed, total = part_ops.compact_mask(validmask, cat)
+                return (dict(zip(out_names, packed)), total[None],
+                        jax.lax.psum(matches, axis),
                         jax.lax.psum(shuffle_over.astype(jnp.int32), axis),
-                        jax.lax.psum(
-                            stats["overflow"].astype(jnp.int32), axis))
+                        jax.lax.psum(join_over.astype(jnp.int32), axis))
 
             return jax.shard_map(
                 shard_fn, mesh=mesh,
@@ -324,7 +401,7 @@ def dist_hash_join(probe: Table, build: Table, key: str,
 
         jitted = _cached_jit(
             ("join", id(mesh), axis, p_cap, b_cap, p_per, b_per, key,
-             max_duplicates, tuple(suffixes), config,
+             max_duplicates, tuple(suffixes), config, G,
              tuple(sorted(probe.columns)), tuple(sorted(build.columns))),
             mesh, build_fn)
         out_cols, rows, matches, shuffle_over, join_over = jitted(

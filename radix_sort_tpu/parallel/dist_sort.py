@@ -299,15 +299,16 @@ def dist_sort_kv(keys: jnp.ndarray, values: Any = None,
                  mesh: Mesh | None = None, axis: str = mesh_lib.DATA_AXIS,
                  capacity_factor: float = 2.5, samples_per_device: int = 64,
                  config: SortConfig = DEFAULT_CONFIG,
-                 overlap_chunks: int = 1):
+                 overlap_chunks: int = 2):
     """Globally sort sharded ``keys`` (and permute ``values`` alongside)
     over the mesh.  Returns (keys, values, overflow) with the same global
     shape/sharding; ``overflow`` True means a shuffle slot overflowed
     (retry with a larger ``capacity_factor``).
 
-    ``overlap_chunks`` > 1 splits the shuffle into that many value-range
-    sub-chunks whose all_to_all exchanges overlap the previous sub-chunk's
-    local sort (comm/compute overlap; results concatenate, no merge).
+    ``overlap_chunks`` > 1 (default 2) splits the shuffle into that many
+    value-range sub-chunks whose all_to_all exchanges overlap the previous
+    sub-chunk's local sort (comm/compute overlap; results concatenate, no
+    merge).  Set 1 to disable.
 
     Arbitrary n is padded to D ⋅ ceil(n/D) with the max sentinel (reference
     padding discipline, src/RadixSortGPU.cpp:269-297) and sliced back.

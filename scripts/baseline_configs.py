@@ -83,7 +83,7 @@ def config1():
     # clobber the production (auto) rows
     record("config1_u32_keyonly_1M_uniform" + (f"_{eng}" if eng else ""),
            mkeys_per_s=round(n / secs / 1e6, 1), valid=bool(ok),
-           engine=eng or "auto")
+           engine=eng or "auto", n=n)
 
 
 def config2():
@@ -203,7 +203,8 @@ def config3():
     from radix_sort_tpu.table import Table
     from radix_sort_tpu.ops import filter as filt, aggregate
 
-    n = 1 << int(os.environ.get("RST_CFG34_LOG2N", "20"))
+    log2n = int(os.environ.get("RST_CFG34_LOG2N", "20"))
+    n = 1 << log2n
     rng = np.random.default_rng(3)
     keys = rng.integers(0, 1000, n).astype(np.uint32)
     vals = rng.integers(0, 100, n).astype(np.int32)
@@ -233,8 +234,9 @@ def config3():
     ok = np.array_equal(got_keys, np.arange(500)) and \
         np.array_equal(np.asarray(out["n"])[:500], exp_n) and \
         np.array_equal(np.asarray(out["s"])[:500].astype(np.int64), exp_s)
-    record("config3_filter_aggregate_1M",
-           mrows_per_s=round(n / secs / 1e6, 1), valid=bool(ok))
+    record("config3_filter_aggregate_1M"
+           + (f"_2^{log2n}" if log2n != 20 else ""),
+           mrows_per_s=round(n / secs / 1e6, 1), valid=bool(ok), n=n)
 
 
 def config4():
@@ -242,10 +244,12 @@ def config4():
     from radix_sort_tpu.table import Table
     from radix_sort_tpu.ops import join
 
-    n_probe, n_build = 1 << 20, 1 << 18
+    log2n = int(os.environ.get("RST_CFG34_LOG2N", "20"))
+    n_probe, n_build = 1 << log2n, 1 << (log2n - 2)
+    key_space = n_probe >> 1  # ~50% probe hit rate at any size
     rng = np.random.default_rng(4)
-    pk = rng.integers(0, 1 << 19, n_probe).astype(np.uint32)
-    bk = rng.permutation(1 << 19)[:n_build].astype(np.uint32)  # unique
+    pk = rng.integers(0, key_space, n_probe).astype(np.uint32)
+    bk = rng.permutation(key_space)[:n_build].astype(np.uint32)  # unique
     probe = Table.from_numpy(
         {"k": pk, "pv": np.arange(n_probe, dtype=np.int32)})
     build = Table.from_numpy(
@@ -267,9 +271,10 @@ def config4():
     kk = np.asarray(res["k"])[:cnt]
     bb = np.asarray(res["bv"])[:cnt]
     ok = cnt == exp and np.array_equal(bb, (kk * 3).astype(np.int32))
-    record("config4_hash_join_1M_probe_256K_build",
+    record("config4_hash_join_1M_probe_256K_build"
+           + (f"_2^{log2n}" if log2n != 20 else ""),
            mrows_per_s=round(n_probe / secs / 1e6, 1), valid=bool(ok),
-           matches=cnt)
+           matches=cnt, n_probe=n_probe, n_build=n_build)
 
 
 def config5():

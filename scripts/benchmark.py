@@ -164,13 +164,20 @@ def main():
             def sync(o):
                 np.asarray(o[:1])
 
-            # Phase-split diagnostic fns (per-kernel columns).  Chained the
-            # same way as the main timing; jitted once per (n, dtype).
+            # Phase-split fns (per-kernel columns).  The columns in a row
+            # must decompose THAT row's engine (reference parity:
+            # avgHistogram/Scan/Reorder bracket the kernels whose total is
+            # avgTotalGPU, src/RadixSortGPU.cpp:37-56) — so phases are
+            # populated ONLY for radix-pipeline engines, each timed with
+            # its OWN kernels; sort-network engines (xla_sort, pallas_merge)
+            # have no radix phases and keep the columns at 0.
+            resolved_eng = sort_ops._dispatch_engine(cfg.engine)
             phase_chains = None
-            if args.phases and np.dtype(dt).kind in "iu":
+            passes = (np.dtype(dt).itemsize * 8) // cfg.bits_per_pass
+            if (args.phases and np.dtype(dt).kind in "iu"
+                    and resolved_eng == "xla_radix"):
                 from radix_sort_tpu.ops import ranking
 
-                passes = (np.dtype(dt).itemsize * 8) // cfg.bits_per_pass
                 padded = cfg.padded_size(n)
                 M = min(cfg.block_elems, padded)
                 B = padded // M
@@ -213,6 +220,52 @@ def main():
                     jax.jit(lambda a, r, f=f: jax.lax.fori_loop(
                         0, r, lambda _, v: f(v), a))
                     for f in (ph_hist, ph_scan, ph_reorder)]
+            elif (args.phases and np.dtype(dt).kind in "iu"
+                    and resolved_eng == "pallas_stream"):
+                from radix_sort_tpu.ops import pallas_radix as pr
+                from radix_sort_tpu.ops import pallas_stream as pstream
+
+                srows = pstream._round_rows(n, 128)
+                tile = srows * pstream.LANES
+
+                def _sprep(k):
+                    # 64-bit rows time the low 32-bit word (per-pass work
+                    # is key-width independent; scaled by the pass count)
+                    ku = sort_ops.dtypes.to_sortable_unsigned(k)
+                    if np.dtype(ku.dtype).itemsize == 8:
+                        ku = (ku & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+                    planes, padded_s = pstream._pad_planes(
+                        (ku,), (jnp.uint32(0xFFFFFFFF),), tile)
+                    digits = (jax.lax.bitcast_convert_type(
+                        planes[0], jnp.uint32).astype(jnp.int32)
+                        & (cfg.radix - 1))
+                    return planes, digits, padded_s
+
+                def sph_hist(k):
+                    _, digits, _ = _sprep(k)
+                    h = pr.digit_histogram(digits, cfg.radix, tile)
+                    return k + h[0, 0].astype(k.dtype)
+
+                def sph_scan(k):
+                    _, digits, _ = _sprep(k)
+                    h = pr.digit_histogram(digits, cfg.radix, tile)
+                    s = pr.exclusive_scan(h.T.reshape(-1))
+                    return k + s[0].astype(k.dtype)
+
+                def sph_reorder(k):
+                    planes, _, padded_s = _sprep(k)
+                    out, _ = pstream._one_pass(
+                        planes, cfg.radix, srows, padded_s, jnp.int32(0))
+                    return k + out[0][0].astype(k.dtype)
+
+                phase_chains = [
+                    jax.jit(lambda a, r, f=f: jax.lax.fori_loop(
+                        0, r, lambda _, v: f(v), a))
+                    for f in (sph_hist, sph_scan, sph_reorder)]
+            elif args.phases and resolved_eng not in (
+                    "xla_radix", "pallas_stream"):
+                print(f"# engine {resolved_eng} has no radix-phase "
+                      "decomposition; per-kernel columns stay 0", flush=True)
 
             for ds_idx, ds_name in enumerate(datasets_device.ALL_NAMES):
                 if wanted_ds and ds_name not in wanted_ds:

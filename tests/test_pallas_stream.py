@@ -129,22 +129,106 @@ def test_sort_engine_dispatch_pallas_stream_u64_kv():
     assert "pallas_call" in repr(jaxpr)
 
 
-def test_sort_engine_pallas_stream_fallback_multi_payload():
-    """Shapes the stream engine does not cover (here: two payload columns)
+def test_sort_engine_pallas_stream_multi_payload_dispatches():
+    """Multi-column payloads (incl. 8-byte dtypes as lo/hi word planes)
+    now ride the streaming kernels: the traced program contains
+    pallas_calls.  Tracing only (execution is covered by the default
+    low-bits e2e test below + hardware validation)."""
+    from radix_sort_tpu.ops import sort as sort_ops
+
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    keys = jax.ShapeDtypeStruct((2048,), jnp.uint32)
+    vals = {"a": jax.ShapeDtypeStruct((2048,), jnp.int32),
+            "b": jax.ShapeDtypeStruct((2048,), jnp.float32),
+            "c": jax.ShapeDtypeStruct((2048,), jnp.int64)}
+    jaxpr = jax.make_jaxpr(
+        lambda k, v: sort_ops.sort_kv(k, v, engine="pallas_stream"))(
+            keys, vals)
+    assert "pallas_call" in repr(jaxpr)
+
+
+def test_sort_engine_pallas_stream_fallback_narrow_payload():
+    """Payload widths the plane mapping does not cover (2-byte dtypes)
     fall back to xla_sort — the correctness contract holds regardless."""
     from radix_sort_tpu.ops import sort as sort_ops
 
     rng = np.random.default_rng(12)
     keys = rng.integers(0, 1000, 4096).astype(np.uint32)
     vals = np.arange(4096, dtype=np.int32)
+    half = (vals % 256).astype(np.float16)
+    jaxpr = jax.make_jaxpr(
+        lambda k, a, b: sort_ops.sort_kv(k, {"a": a, "b": b},
+                                         engine="pallas_stream"))(
+        jax.ShapeDtypeStruct(keys.shape, jnp.uint32),
+        jax.ShapeDtypeStruct(vals.shape, jnp.int32),
+        jax.ShapeDtypeStruct(half.shape, jnp.float16))
+    assert "pallas_call" not in repr(jaxpr)
     k, vd = sort_ops.sort_kv(jnp.asarray(keys),
                              {"a": jnp.asarray(vals),
-                              "b": jnp.asarray(vals * 2)},
+                              "b": jnp.asarray(half)},
                              engine="pallas_stream")
     order = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(np.asarray(k), keys[order])
     np.testing.assert_array_equal(np.asarray(vd["a"]), vals[order])
-    np.testing.assert_array_equal(np.asarray(vd["b"]), vals[order] * 2)
+    np.testing.assert_array_equal(np.asarray(vd["b"]), half[order])
+
+
+def test_stream_sort_low_bits_e2e_default():
+    """Default-suite END-TO-END run of the streaming engine: keys < 2^8
+    with total_bits=8 trace only TWO passes, so the multi-pass machinery
+    (per-pass histogram/scan/kernel/fixup + inter-pass plane threading)
+    executes in interpret mode in seconds, not minutes (VERDICT r2 weak
+    #8).  Two payload planes exercise the N-plane path; n=1280 exercises
+    the non-sublane-multiple tile rounding."""
+    rng = np.random.default_rng(21)
+    n = 1280
+    keys = rng.integers(0, 256, n).astype(np.uint32)
+    vals = np.arange(n, dtype=np.int32)
+    ko, (a, b) = ps.sort_planes(
+        jnp.asarray(keys),
+        (jnp.asarray(vals), jnp.asarray(vals * 3)), total_bits=8)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(ko), keys[order])
+    np.testing.assert_array_equal(np.asarray(a), vals[order])
+    np.testing.assert_array_equal(np.asarray(b), vals[order] * 3)
+
+
+def test_partition_planes_oracle():
+    """Single-pass streaming stable partition vs numpy: counts + stable
+    bucket-major order, with padding landing in the last bucket's tail
+    (num_buckets below, at, and above a power of two)."""
+    rng = np.random.default_rng(22)
+    for nb in (5, 8, 11):
+        n = 1600  # non-multiple of the 1024-element tile
+        ids = rng.integers(0, nb, n).astype(np.int32)
+        vals = np.arange(n, dtype=np.int32)
+        outs, counts = jax.jit(
+            lambda i, v, nb=nb: ps.partition_planes(i, (v,), nb))(
+            jnp.asarray(ids), jnp.asarray(vals))
+        order = np.argsort(ids, kind="stable")
+        np.testing.assert_array_equal(np.asarray(outs[0]), vals[order])
+        np.testing.assert_array_equal(np.asarray(counts),
+                                      np.bincount(ids, minlength=nb))
+
+
+def test_stable_partition_stream_method():
+    """partition.stable_partition(method="stream") matches the lax.sort
+    path bit-for-bit over mixed payload dtypes (f32 + i32)."""
+    from radix_sort_tpu.ops import partition
+
+    rng = np.random.default_rng(23)
+    n, nb = 2000, 8
+    ids = rng.integers(0, nb, n).astype(np.int32)
+    a = rng.standard_normal(n).astype(np.float32)
+    b = np.arange(n, dtype=np.int32)
+    args = (jnp.asarray(ids), (jnp.asarray(a), jnp.asarray(b)), nb)
+    out_s, cnt_s, st_s = partition.stable_partition(*args, method="sort")
+    out_p, cnt_p, st_p = partition.stable_partition(*args, method="stream")
+    for x, y in zip(out_s, out_p):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_array_equal(np.asarray(cnt_s), np.asarray(cnt_p))
+    np.testing.assert_array_equal(np.asarray(st_s), np.asarray(st_p))
 
 
 @pytest.mark.skipif(not _SLOW, reason="8-pass interpret run costs ~4 min; "
