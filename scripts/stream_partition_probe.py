@@ -1,0 +1,140 @@
+"""Hardware validation + measurement of the streaming partition / N-plane
+sort paths (round-3 production-job work for pallas_stream).
+
+1. Validates sort_planes (multi-payload) and partition_planes bit-exact on
+   the real chip (interpret mode passes things Mosaic rejects — CLAUDE.md).
+2. Measures the production question: is ONE streaming pass
+   (partition_planes) faster than the full stable lax.sort that
+   stable_partition(method="sort") pays — and how does the gap scale with
+   payload plane count?
+
+Usage: python scripts/stream_partition_probe.py [log2n=22] [log2n2=24]
+Writes findings to stdout (recorded in docs/PROBES.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(step, x, reps=8, iters=3):
+    import jax
+    import jax.numpy as jnp
+
+    chained = jax.jit(lambda a, r: jax.lax.fori_loop(
+        0, r, lambda _, v: step(v), a))
+    r1, rR = jnp.int32(1), jnp.int32(reps)
+
+    def sync(o):
+        np.asarray(jax.tree.leaves(o)[0][:1])
+
+    sync(chained(x, r1)); sync(chained(x, rR))
+    t1 = tr = 1e9
+    for _ in range(iters):
+        t0 = time.perf_counter(); sync(chained(x, r1))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter(); sync(chained(x, rR))
+        tr = min(tr, time.perf_counter() - t0)
+    return max(1e-9, (tr - t1) / (reps - 1))
+
+
+def validate(n=1 << 20):
+    import jax
+    import jax.numpy as jnp
+    from radix_sort_tpu.ops import pallas_stream as ps
+
+    rng = np.random.default_rng(31)
+    keys = rng.integers(0, 2**32, n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.int32)
+    f32 = rng.standard_normal(n).astype(np.float32)
+
+    # multi-plane sort: keys + 2 payload planes
+    ko, (a, b) = jax.jit(lambda k, x, y: ps.sort_planes(k, (x, y)))(
+        jnp.asarray(keys), jnp.asarray(vals),
+        jax.lax.bitcast_convert_type(jnp.asarray(f32), jnp.int32))
+    order = np.argsort(keys, kind="stable")
+    ok_sort = (np.array_equal(np.asarray(ko), keys[order])
+               and np.array_equal(np.asarray(a), vals[order])
+               and np.array_equal(
+                   np.asarray(jax.lax.bitcast_convert_type(b, jnp.float32)),
+                   f32[order]))
+    print(f"sort_planes 2-payload n=2^20: {'OK' if ok_sort else 'MISMATCH'}",
+          flush=True)
+
+    ok_part = True
+    for nb in (8, 16):
+        ids = rng.integers(0, nb, n).astype(np.int32)
+        outs, counts = jax.jit(
+            lambda i, v, nb=nb: ps.partition_planes(i, (v,), nb))(
+            jnp.asarray(ids), jnp.asarray(vals))
+        po = np.argsort(ids, kind="stable")
+        ok = (np.array_equal(np.asarray(outs[0]), vals[po])
+              and np.array_equal(np.asarray(counts),
+                                 np.bincount(ids, minlength=nb)))
+        ok_part &= ok
+        print(f"partition_planes nb={nb} n=2^20: "
+              f"{'OK' if ok else 'MISMATCH'}", flush=True)
+    return ok_sort and ok_part
+
+
+def measure(log2n, nplanes_list=(1, 2, 4), nb=16):
+    import jax
+    import jax.numpy as jnp
+    from radix_sort_tpu.ops import pallas_stream as ps
+    from radix_sort_tpu.ops import partition
+
+    n = 1 << log2n
+    rng = np.random.default_rng(32)
+    ids = jax.device_put(jnp.asarray(
+        rng.integers(0, nb, n).astype(np.int32)))
+    planes = tuple(
+        jax.device_put(jnp.asarray(
+            rng.integers(0, 2**31, n).astype(np.int32)))
+        for _ in range(max(nplanes_list)))
+
+    out = []
+    for npl in nplanes_list:
+        pls = planes[:npl]
+
+        def step_stream(i):
+            o, _ = ps.partition_planes(i, pls, nb)
+            return o[0] ^ i if npl else i
+
+        def step_sort(i):
+            o, _, _ = partition.stable_partition(i, pls, nb, method="sort")
+            return o[0] ^ i
+
+        t_stream = timed(step_stream, ids)
+        t_sort = timed(step_sort, ids)
+        row = {"n": n, "nb": nb, "payload_planes": npl,
+               "stream_ms": round(t_stream * 1e3, 3),
+               "lax_sort_ms": round(t_sort * 1e3, 3),
+               "speedup": round(t_sort / t_stream, 2),
+               "stream_melem_s": round(n / t_stream / 1e6, 1)}
+        out.append(row)
+        print(json.dumps(row), flush=True)
+    return out
+
+
+def main():
+    log2n = int(sys.argv[1]) if len(sys.argv) > 1 else 22
+    log2n2 = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    import jax
+
+    print(f"# backend={jax.default_backend()} "
+          f"dev={jax.devices()[0].device_kind}", flush=True)
+    ok = validate()
+    if not ok:
+        print("VALIDATION FAILED — not measuring", flush=True)
+        sys.exit(1)
+    for ln in (log2n, log2n2):
+        measure(ln)
+
+
+if __name__ == "__main__":
+    main()
