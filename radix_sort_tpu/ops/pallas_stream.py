@@ -674,7 +674,12 @@ def partition_planes(bucket_ids, planes_i32, num_buckets: int,
     bucket-major order — 2 passes/byte of HBM traffic where a
     ``lax.sort``-backed stable partition pays a full sort network.
 
-    ``bucket_ids`` must be int32-representable in [0, num_buckets).
+    ``bucket_ids`` must be int32-representable in [0, num_buckets) — this
+    is a CONTRACT, not a checked precondition: the kernel extracts the
+    bucket as ``ids & (radix-1)``, so out-of-range ids silently WRAP into
+    low buckets, unlike stable_partition(method="sort") which orders them
+    after every valid bucket (the virtual-bucket tail pattern
+    exchange.ragged_all_to_all relies on; ADVICE r3).
     Padding rows carry bucket id ``num_buckets - 1``: stability puts them
     after every real row of the last bucket, i.e. exactly at positions
     [n, padded) — so outputs slice to [:n] and only the last bucket's

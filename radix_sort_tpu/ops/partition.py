@@ -37,9 +37,16 @@ def stable_partition(bucket_ids: jnp.ndarray, arrays, num_buckets: int,
     docs/DESIGN.md §2.2).
     method="stream": ONE streaming Pallas radix pass
     (pallas_stream.partition_planes) — 2 passes/byte of HBM traffic where
-    "sort" pays a full log-depth sort network; requires 4/8-byte array
-    dtypes and power-of-two-representable buckets (falls back to "sort"
-    otherwise).
+    "sort" pays a full log-depth sort network.  Falls back to "sort" when
+    a payload dtype is not 4/8-byte plane-representable, when n == 0, or
+    when the bucket count (rounded up to a power of two) exceeds the
+    hardware-verified radix cap of 256 (larger radices inflate the
+    kernel's (NP*radix, 128) VMEM outputs past what the capability probes
+    validated — ADVICE r3).  NB: the stream pass computes buckets as
+    ``ids & (radix-1)``, so ids outside [0, num_buckets) WRAP into low
+    buckets instead of landing after the last bucket the way the sort
+    method orders them — callers relying on the virtual-bucket tail
+    pattern (exchange.ragged_all_to_all) must use method="sort".
     method="rank": the radix rank+scatter pipeline (the reference-shaped
     path; used by tests to cross-validate the ranking machinery).
     """
@@ -49,6 +56,8 @@ def stable_partition(bucket_ids: jnp.ndarray, arrays, num_buckets: int,
         from . import pallas_stream
 
         planes, specs = pallas_stream.payloads_to_planes(tuple(arrays))
+        if _next_pow2(max(num_buckets, 1)) > 256:
+            planes = None  # beyond the verified radix cap — sort path
         if planes is not None and n > 0:
             outs, total = pallas_stream.partition_planes(
                 ids, planes, num_buckets)

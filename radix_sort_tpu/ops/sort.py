@@ -21,6 +21,9 @@ Engines:
     (ops/pallas_stream.py) — the scatter-free TPU-native reorder; stable,
     32/64-bit keys, any number of 4/8-byte payload columns as int32
     planes (other payload widths fall back to xla_sort).
+  - ``chunked``:   range-chunked hybrid (ops/chunked_sort.py): splitter
+    sampling → one streaming partition pass → batched small-n lax.sort —
+    attacks the sort network's log^2(n) per-element cost at big n.
   - ``auto``:      current best for the active backend.
 
 All engines route keys through the order-preserving unsigned transform
@@ -118,6 +121,10 @@ def sort_biased_kv(keys_u, payloads, config: SortConfig = DEFAULT_CONFIG):
         return _pallas_merge_engine(keys_u, payloads, keys_u.shape[0])
     if engine == "pallas_stream":
         return _pallas_stream_engine(keys_u, payloads, keys_u.shape[0])
+    if engine == "chunked":
+        from . import chunked_sort
+
+        return chunked_sort.sort_chunked_biased(keys_u, tuple(payloads))
     raise EngineError(OperationStatus.INITIALIZATION_FAILED,
                       f"unknown engine {engine!r}")
 
@@ -197,6 +204,10 @@ def _sort_impl(keys: jnp.ndarray, payloads, config: SortConfig):
         ku, pls = _pallas_merge_engine(keys_u, payloads, n)
     elif engine == "pallas_stream":
         ku, pls = _pallas_stream_engine(keys_u, payloads, n)
+    elif engine == "chunked":
+        from . import chunked_sort
+
+        ku, pls = chunked_sort.sort_chunked_biased(keys_u, tuple(payloads))
     else:
         raise EngineError(OperationStatus.INITIALIZATION_FAILED,
                           f"unknown engine {engine!r}")

@@ -173,7 +173,11 @@ def main():
             # have no radix phases and keep the columns at 0.
             resolved_eng = sort_ops._dispatch_engine(cfg.engine)
             phase_chains = None
-            passes = (np.dtype(dt).itemsize * 8) // cfg.bits_per_pass
+            # pass count for scaling the one-pass phase timings — must be
+            # derived from the radix THE ROW'S ENGINE actually runs
+            # (ADVICE r3: pallas_stream hard-codes radix 16 in sort_planes,
+            # not cfg.radix), set per-branch below.
+            phase_passes = (np.dtype(dt).itemsize * 8) // cfg.bits_per_pass
             if (args.phases and np.dtype(dt).kind in "iu"
                     and resolved_eng == "xla_radix"):
                 from radix_sort_tpu.ops import ranking
@@ -222,9 +226,18 @@ def main():
                     for f in (ph_hist, ph_scan, ph_reorder)]
             elif (args.phases and np.dtype(dt).kind in "iu"
                     and resolved_eng == "pallas_stream"):
+                import inspect
+
                 from radix_sort_tpu.ops import pallas_radix as pr
                 from radix_sort_tpu.ops import pallas_stream as pstream
 
+                # the engine's OWN radix: sort_planes' default (16), NOT
+                # cfg.radix (256) — the columns must decompose the kernels
+                # the row's main timing ran (ADVICE r3 medium).
+                stream_radix = inspect.signature(
+                    pstream.sort_planes).parameters["radix"].default
+                phase_passes = (np.dtype(dt).itemsize * 8
+                                ) // int(np.log2(stream_radix))
                 srows = pstream._round_rows(n, 128)
                 tile = srows * pstream.LANES
 
@@ -238,24 +251,24 @@ def main():
                         (ku,), (jnp.uint32(0xFFFFFFFF),), tile)
                     digits = (jax.lax.bitcast_convert_type(
                         planes[0], jnp.uint32).astype(jnp.int32)
-                        & (cfg.radix - 1))
+                        & (stream_radix - 1))
                     return planes, digits, padded_s
 
                 def sph_hist(k):
                     _, digits, _ = _sprep(k)
-                    h = pr.digit_histogram(digits, cfg.radix, tile)
+                    h = pr.digit_histogram(digits, stream_radix, tile)
                     return k + h[0, 0].astype(k.dtype)
 
                 def sph_scan(k):
                     _, digits, _ = _sprep(k)
-                    h = pr.digit_histogram(digits, cfg.radix, tile)
+                    h = pr.digit_histogram(digits, stream_radix, tile)
                     s = pr.exclusive_scan(h.T.reshape(-1))
                     return k + s[0].astype(k.dtype)
 
                 def sph_reorder(k):
                     planes, _, padded_s = _sprep(k)
                     out, _ = pstream._one_pass(
-                        planes, cfg.radix, srows, padded_s, jnp.int32(0))
+                        planes, stream_radix, srows, padded_s, jnp.int32(0))
                     return k + out[0][0].astype(k.dtype)
 
                 phase_chains = [
@@ -346,9 +359,9 @@ def main():
                             sync(ch(phase_keys, jnp.int32(reps)))
                             tb = min(tb, time.perf_counter() - t0)
                         cum.append(max((tb - ta) / (reps - 1), 0.0))
-                    t_h = cum[0] * passes * 1e3
-                    t_s = max(cum[1] - cum[0], 0.0) * passes * 1e3
-                    t_r = max(cum[2] - cum[1], 0.0) * passes * 1e3
+                    t_h = cum[0] * phase_passes * 1e3
+                    t_s = max(cum[1] - cum[0], 0.0) * phase_passes * 1e3
+                    t_r = max(cum[2] - cum[1], 0.0) * phase_passes * 1e3
 
                 stl_ms = rdx_ms = 0.0
                 # Fetching big arrays over the dev tunnel costs minutes
