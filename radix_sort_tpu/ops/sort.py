@@ -107,6 +107,10 @@ def sort_biased_kv(keys_u, payloads, config: SortConfig = DEFAULT_CONFIG):
     """Engine-dispatched sort of already-biased unsigned keys + payload
     tuple.  Trace-level (no jit wrapper): the building block the distributed
     layer calls inside shard_map."""
+    # n deliberately not passed: this is the shard_map building block, and
+    # the chunked engine's Pallas partition is not validated under
+    # shard_map vma checking (same caveat as pallas_merge below) — auto
+    # resolves size-independently to xla_sort here.
     engine = _dispatch_engine(config.engine)
     if engine == "xla_sort":
         return _xla_sort_engine(keys_u, payloads, keys_u.shape[0])
@@ -174,12 +178,25 @@ def _xla_sort_engine(keys_u, payloads, n):
     return out[0], out[1:]
 
 
-def _dispatch_engine(engine: str) -> str:
+# "auto" routes to the chunked engine at and above this size (None =
+# never).  Set from hardware A/B data (scripts/chunked_probe.py, docs/
+# PROBES.md r4): below it the plain network wins; at/above it the
+# log^2(n) stage growth makes range-chunking pay for its partition pass.
+AUTO_CHUNKED_MIN_N: int | None = None
+
+
+def _dispatch_engine(engine: str, n: int | None = None) -> str:
+    """Resolve "auto" to a concrete engine.  Size-independent callers
+    (n=None) get the size-independent answer; _sort_impl passes n so the
+    policy can route big arrays to the chunked engine."""
     if engine != "auto":
         return engine
-    # Auto policy: XLA's native sort network is currently the fastest
-    # single-chip path on TPU; the radix pipeline is the validated template
-    # the Pallas engine accelerates.  Revisited as Pallas kernels land.
+    # Auto policy: XLA's native sort network is the measured single-chip
+    # optimum across the explored design space (DESIGN.md §2.2c-d); the
+    # chunked engine takes over at large n once its A/B data justifies it.
+    if (AUTO_CHUNKED_MIN_N is not None and n is not None
+            and n >= AUTO_CHUNKED_MIN_N):
+        return "chunked"
     return "xla_sort"
 
 
@@ -191,7 +208,7 @@ def _sort_impl(keys: jnp.ndarray, payloads, config: SortConfig):
     n = keys.shape[0]
     orig_dtype = np.dtype(keys.dtype)
     keys_u = dtypes.to_sortable_unsigned(keys)
-    engine = _dispatch_engine(config.engine)
+    engine = _dispatch_engine(config.engine, n)
     if engine == "xla_sort":
         ku, pls = _xla_sort_engine(keys_u, payloads, n)
     elif engine == "xla_radix":

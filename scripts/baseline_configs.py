@@ -134,6 +134,20 @@ def config2():
         def sync(o):
             np.asarray(o[:1])
 
+        # chain-mode state shared across the four distributions: a failed
+        # compile is NOT cached by jax, so re-trying the fori chain per
+        # dataset would re-crash (and re-wait) four times.  Fallback jits
+        # are created once per dtype and reused (fresh function objects
+        # would recompile per dataset).
+        mode = {"m": "fori", "u1": None, "uR": None}
+
+        def unrolled(r):
+            def _f(a):
+                for _ in range(r):
+                    a = step(a)
+                return a
+            return jax.jit(_f)
+
         for ds in ds_lib.make_datasets(dt, seed=1):
             if ds.name == "RandomDistributed":
                 continue  # config names zeros/range/inverted/random
@@ -149,28 +163,48 @@ def config2():
                 data = None
                 kd = datasets_device.generate(ds.name, dt, n, seed=1)
                 kd.block_until_ready()
-            try:
-                sync(chained(kd, r1)); sync(chained(kd, rR))
+            # fori-wrapped 64-bit sorts can blow XLA's scoped-vmem budget
+            # at specific sizes (docs/PROBES.md), and the 2^27 stable-KV
+            # compile crashed the remote-compile transport outright in r4
+            # — escalate fori -> unrolled(4) -> unrolled(2) ONCE per
+            # dtype, then record failures per-combo and keep sweeping.
+            if mode["m"] == "fori":
+                try:
+                    sync(chained(kd, r1)); sync(chained(kd, rR))
+                except Exception as e:  # noqa: BLE001
+                    print(f"# config2 fori chain failed "
+                          f"({type(e).__name__}); unrolled fallback",
+                          flush=True)
+                    mode["m"] = "u4"
+            if mode["m"] == "u4" and mode["u1"] is None:
+                reps = min(reps, 4)
+                try:
+                    mode["u1"], mode["uR"] = unrolled(1), unrolled(reps)
+                    sync(mode["u1"](kd)); sync(mode["uR"](kd))
+                except Exception as e2:  # noqa: BLE001
+                    print(f"# unrolled-4 failed too ({type(e2).__name__});"
+                          f" reps=2", flush=True)
+                    mode["m"] = "u2"
+                    mode["u1"], mode["uR"] = None, None
+            if mode["m"] == "u2" and mode["u1"] is None:
+                reps = 2
+                try:
+                    mode["u1"], mode["uR"] = unrolled(1), unrolled(2)
+                    sync(mode["u1"](kd)); sync(mode["uR"](kd))
+                except Exception:  # noqa: BLE001
+                    mode["m"] = "fail"
+            if mode["m"] == "fail":
+                record(f"config2_kv_{dname}_{ds.name}"
+                       + (f"_2^{log2n}" if log2n != 20 else "")
+                       + (f"_{eng}" if eng else ""),
+                       failed="compile", n=n, engine=eng or "auto")
+                continue
+            if mode["m"] == "fori":
                 run1 = lambda a: chained(a, r1)    # noqa: E731
                 runR = lambda a: chained(a, rR)    # noqa: E731
-            except Exception as e:  # noqa: BLE001
-                # fori-wrapped 64-bit sorts can blow XLA's scoped-vmem
-                # budget at specific sizes (docs/PROBES.md) — unrolled chain
-                # fallback, reps capped to bound the unrolled compile.
-                reps = min(reps, 4)
-                print(f"# config2 fori chain failed ({type(e).__name__}); "
-                      f"unrolled fallback reps={reps}", flush=True)
-
-                def unrolled(r):
-                    def _f(a):
-                        for _ in range(r):
-                            a = step(a)
-                        return a
-                    return jax.jit(_f)
-                u1, uR = unrolled(1), unrolled(reps)
-                run1 = lambda a: u1(a)    # noqa: E731
-                runR = lambda a: uR(a)    # noqa: E731
-                sync(run1(kd)); sync(runR(kd))
+            else:
+                run1, runR = mode["u1"], mode["uR"]
+                sync(run1(kd)); sync(runR(kd))  # warm this dataset
             t1 = tr = 1e9
             for _ in range(2):
                 t0 = time.perf_counter(); sync(run1(kd))
