@@ -71,7 +71,12 @@ def main():
         def step(k):
             return jax.lax.sort((k,), num_keys=1, is_stable=False)[0]
 
-        secs = timed(step, x, reps=max(2, (1 << 25) // n * 4))
+        try:
+            secs = timed(step, x, reps=max(2, (1 << 25) // n * 4))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"probe": "size_curve", "n": f"2^{ln}",
+                              "failed": type(e).__name__}), flush=True)
+            continue
         print(json.dumps({"probe": "size_curve", "n": f"2^{ln}",
                           "ms": round(secs * 1e3, 2),
                           "melem_s": round(n / secs / 1e6, 1)}), flush=True)
@@ -86,15 +91,22 @@ def main():
             return jax.lax.sort((a,), num_keys=1, is_stable=False,
                                 dimension=1)[0]
 
-        secs = timed(stepb, x, reps=2)
+        try:
+            secs = timed(stepb, x, reps=2)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"probe": "batched", "shape": list(shape),
+                              "failed": type(e).__name__}), flush=True)
+            continue
         print(json.dumps({"probe": "batched", "shape": list(shape),
                           "ms": round(secs * 1e3, 2),
                           "melem_s": round(n_total / secs / 1e6, 1)}),
               flush=True)
 
-    # 3. stable KV variants (the headline config)
+    # 3. stable KV variants (the headline config).  k_rows=1 LAST and each
+    # row fault-isolated: the monolithic 2^27 stable-KV compile crashed
+    # the remote-compile transport in the first r4 attempt.
     vals = jax.device_put(jnp.arange(n_total, dtype=jnp.int32))
-    for k_rows in (1, 8, 16):
+    for k_rows in (8, 16, 1):
         shape = (k_rows, n_total // k_rows)
         x = (keys.reshape(shape), vals.reshape(shape))
 
@@ -104,7 +116,14 @@ def main():
                                   dimension=1)
             return ko, vo
 
-        secs = timed(stepkv, x, reps=2)
+        try:
+            secs = timed(stepkv, x, reps=2)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"probe": "batched_kv_stable",
+                              "shape": list(shape),
+                              "failed": type(e).__name__,
+                              "msg": str(e)[:160]}), flush=True)
+            continue
         print(json.dumps({"probe": "batched_kv_stable",
                           "shape": list(shape),
                           "ms": round(secs * 1e3, 2),
