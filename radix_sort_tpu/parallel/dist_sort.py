@@ -17,10 +17,14 @@ globally with one skew-aware shuffle:
                   the north star requires.
   3. shuffle    — ragged_all_to_all (exchange.py) with fixed per-pair
                   capacity; overflow is detected globally.
-  4. local sort — validity-partition then stable key sort; slot-major recv
-                  order makes the result globally stable.
+  4. local sort — ONE stable two-key sort on (validity, key); slot-major
+                  recv order makes the result globally stable and valid
+                  rows form a sorted contiguous prefix.
   5. rebalance  — (dense mode) a second fixed-capacity exchange lands
-                  exactly N/D sorted rows on each chip.
+                  exactly N/D sorted rows on each chip; because the valid
+                  prefixes are destination-monotone, its partition is O(D)
+                  window arithmetic + an overlapping-DUS unpack, not a
+                  sort.
 
 Everything is one jit region per call; collectives compile to ICI
 all_to_all/all_gather/psum via shard_map.
@@ -182,16 +186,27 @@ def _assign_destinations(chunk_u: jnp.ndarray, splitters: jnp.ndarray,
 
 
 def _local_sorted_valid_first(ku, payloads, valid, config):
-    """Partition valid rows first, then stable-sort by key: LSD order gives
-    key-major, valid-before-padding, source-order-stable results.
+    """Sort received rows with validity as the leading criterion: valid
+    rows first (key-major, source-order-stable), padding after.
+
+    On the xla_sort engine this is ONE stable two-key ``lax.sort`` over
+    ``(invalid, key)`` — fusing what used to be a compact_mask partition
+    pass (itself a full stable sort) followed by the key sort.  Measured
+    on v5e the D=1 shard program pays ~5 sort-grade passes
+    (docs/PROBES.md r4); this fusion removes one of them.  A plain
+    key-only sort cannot replace it: valid rows whose key equals the max
+    sentinel would interleave with later sources' padding rows and break
+    the valid-prefix contract.
 
     The pallas_merge engine is not shard_map-compatible yet (Pallas output
-    avals need explicit vma under check_vma) — fall back to xla_sort for
-    the local sort when it is selected."""
-    import dataclasses
-
-    if sort_ops._dispatch_engine(config.engine) == "pallas_merge":
-        config = dataclasses.replace(config, engine="xla_sort")
+    avals need explicit vma under check_vma) and is key-only/unstable, so
+    it takes the fused xla path too."""
+    eng = sort_ops._dispatch_engine(config.engine)
+    if eng in ("xla_sort", "pallas_merge"):
+        invalid = jnp.where(valid, jnp.int32(0), jnp.int32(1))
+        out = jax.lax.sort((invalid, ku) + tuple(payloads), num_keys=2,
+                           is_stable=True)
+        return out[1], tuple(out[2:])
     arrays = (ku,) + tuple(payloads)
     out, _ = part_ops.compact_mask(valid, arrays)
     ku2, payloads2 = out[0], out[1:]
@@ -256,41 +271,72 @@ def _dist_sort_shard(chunk_u, payloads, *, D, axis, capacity, samples,
             part_counts.append(jnp.sum(rcounts))
             overflow = jnp.logical_or(overflow, ovf)
         # stitch: valid prefixes of each sorted sub-chunk, in g order.
+        # Each part holds its valid rows as a contiguous prefix (the fused
+        # valid-first sort above), so G overlapping dynamic_update_slices
+        # lay them end-to-end — part g+1's write overwrites part g's
+        # padding tail.  One HBM pass where a compact_mask partition would
+        # pay a full sort network over the G·m concat.
         m = parts[0][0].shape[0]
-        validmask = jnp.concatenate(
-            [jnp.arange(m, dtype=jnp.int32) < c for c in part_counts])
-        cat = tuple(jnp.concatenate([p[i] for p in parts])
-                    for i in range(1 + len(payloads)))
-        out, _ = part_ops.compact_mask(validmask, cat)
-        # Clamp to the global row count: the rebalance's modulo-wrapped
-        # destination windows are overflow-free only while the local
-        # buffer is ≤ D*per_dev rows — and a chip can never hold more
-        # than the global N valid rows, so the slice loses nothing.
-        L = min(out[0].shape[0], D * dense_capacity)
-        ks, ps = out[0][:L], tuple(a[:L] for a in out[1:])
+        offs = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(jnp.stack(part_counts), dtype=jnp.int32)[:-1]])
+        stitched = []
+        for i in range(1 + len(payloads)):
+            fill = fills[i]
+            buf = jnp.full((G * m,), fill, dtype=parts[0][i].dtype)
+            for g in range(G):
+                # offs[g] <= g*m (each prior part contributes <= m rows),
+                # so no write ever clamps out of bounds.
+                buf = jax.lax.dynamic_update_slice(buf, parts[g][i],
+                                                   (offs[g],))
+            stitched.append(buf)
+        # Clamp to the global row count: the rebalance's destination
+        # windows hold at most D*per_dev global rows — and a chip can
+        # never hold more than the global N valid rows, so the slice
+        # loses nothing.
+        L = min(G * m, D * dense_capacity)
+        ks, ps = stitched[0][:L], tuple(a[:L] for a in stitched[1:])
         v_count = sum(part_counts[1:], part_counts[0])
 
-    # 5: rebalance to a dense shard of exactly n rows per chip.
+    # 5: rebalance to a dense shard of exactly n rows per chip.  ks/ps
+    # hold their valid rows as a contiguous prefix (both branches above),
+    # and global positions are monotone in (chip, local row) — so the rows
+    # bound for destination d are ALREADY a contiguous slice of the valid
+    # prefix: counts/starts fall out of O(D) window arithmetic and the
+    # general ragged exchange's partition pass (a full stable sort by
+    # destination) is skipped entirely.  Position arithmetic is int32:
+    # valid for global N < 2^31 (the per-chip cap is 2^27; document-level
+    # bound, not a runtime check).
     counts_all = jax.lax.all_gather(v_count, axis)                  # (D,)
     my = jax.lax.axis_index(axis)
-    g0 = jnp.sum(jnp.where(jnp.arange(D) < my, counts_all, 0))
-    pos = g0 + jnp.arange(ks.shape[0], dtype=jnp.int32)
-    # Valid rows (pos < N) land on their true owner; invalid tail rows wrap
-    # around harmlessly (their row_valid flag is False and they're dropped on
-    # arrival).  The modulo keeps every contiguous position window mapping at
-    # most n rows to any one destination, so this exchange cannot overflow.
-    dest2 = (pos // n) % D
-    row_valid = jnp.arange(ks.shape[0], dtype=jnp.int32) < v_count
-    fills2 = fills
-    (recv2, recv2_counts, overflow2) = exchange.ragged_all_to_all(
-        (ks,) + tuple(ps) + (row_valid,), dest2, D, dense_capacity, axis,
-        fills2 + (False,))
-    valid2 = jnp.logical_and(
-        exchange.slot_valid_mask(D, dense_capacity, recv2_counts),
-        recv2[-1])
-    out_arrays, _ = part_ops.compact_mask(valid2, recv2[:-1])
-    ks_final = out_arrays[0][:n]
-    ps_final = tuple(a[:n] for a in out_arrays[1:])
+    g0 = jnp.sum(jnp.where(jnp.arange(D) < my, counts_all, 0),
+                 dtype=jnp.int32, promote_integers=False)
+    vc = jnp.minimum(v_count, ks.shape[0]).astype(jnp.int32)
+    drange = jnp.arange(D, dtype=jnp.int32)
+    lo2 = jnp.clip(drange * n - g0, 0, vc)
+    hi2 = jnp.clip((drange + 1) * n - g0, 0, vc)
+    # counts2 <= n = dense_capacity (a destination window is n positions
+    # wide), so this exchange cannot overflow.
+    counts2 = hi2 - lo2
+    (recv2, recv2_counts, overflow2) = exchange.packed_all_to_all(
+        (ks,) + tuple(ps), counts2, lo2, D, dense_capacity, axis, fills)
+    # Unpack: source s's valid prefix lands at the running offset; later
+    # writes overwrite the previous slot's padding tail.  Every global
+    # position in my window has exactly one owner, so the offsets sum to
+    # exactly n valid rows — one HBM pass replaces the old sort-based
+    # compact_mask.
+    offs2 = (jnp.cumsum(recv2_counts, dtype=jnp.int32) - recv2_counts)
+    C2 = dense_capacity
+    out_arrays = []
+    for a, fill in zip(recv2, fills):
+        slots = a.reshape(D, C2)
+        buf = jnp.full((n + C2,), fill, dtype=a.dtype)
+        for s in range(D):
+            # offs2[s] <= s*C2 <= n, so no write ever clamps.
+            buf = jax.lax.dynamic_update_slice(buf, slots[s], (offs2[s],))
+        out_arrays.append(buf[:n])
+    ks_final = out_arrays[0]
+    ps_final = tuple(out_arrays[1:])
     return (ks_final,) + ps_final + (
         jnp.logical_or(overflow, overflow2).astype(jnp.int32),)
 
