@@ -245,8 +245,13 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, *refs, radix, rows, nbits,
     scratch: tails_s (nplanes*R, 128), stage (nplanes*(rows+2R), 128),
     one DMA semaphore (serial start+wait v1).
 
-    Scalar prefetch: pass shift (1,), base (B, R) global offsets, cnt
-    (B, R) per-(tile, digit) counts.  Only FULL 128-element rows are
+    Scalar prefetch: pass shift (1,), base (R, B) global offsets, cnt
+    (R, B) per-(digit, tile) counts.  DIGIT-major layout is a hardware
+    constraint, not a style choice: SMEM prefetch operands are padded to
+    128 lanes on the minor dimension, so a (B, R) table with R=16 burns
+    8x its size in SMEM and busts the 1 MiB scoped-smem budget at B=1024
+    (n=2^24 at rows=128 — measured, docs/PROBES.md r4); (R, B) keeps the
+    padded dim already 128-aligned.  Only FULL 128-element rows are
     DMA'd; partial tails ride VMEM carries across grid steps, so blocks'
     ragged segments stitch densely (digit-boundary rows are rebuilt by
     the XLA epilogue from heads/tails).
@@ -295,8 +300,8 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, *refs, radix, rows, nbits,
     regs, cls, cnts, k_rows_l = [], [], [], []
     reg = jnp.int32(0)
     for b in range(radix):
-        e = base_ref[t, b]
-        c = cnt_ref[t, b]
+        e = base_ref[b, t]
+        c = cnt_ref[b, t]
         cl = _mod_lanes(e)
         k_rows = _div_lanes(cl + c)
         regs.append(reg)
@@ -370,13 +375,13 @@ def _pass_kernel(sh_ref, base_ref, cnt_ref, *refs, radix, rows, nbits,
 
     # ---- flush each bucket: full rows stream out, tails carry over.
     for b in range(radix):
-        e = base_ref[t, b]
+        e = base_ref[b, t]
         cl = cls[b]
         k_rows = k_rows_l[b]
         reg = regs[b]
         gstart = _div_lanes(e)
-        fw = _div_lanes(base_ref[0, b])
-        unaligned = _mod_lanes(base_ref[0, b]) != 0
+        fw = _div_lanes(base_ref[b, 0])
+        unaligned = _mod_lanes(base_ref[b, 0]) != 0
         first_here = jnp.logical_and(gstart == fw, unaligned)
         skip = jnp.where(first_here, jnp.int32(1), jnp.int32(0))
 
@@ -547,12 +552,14 @@ def _one_pass(cur, radix, rows, padded, shift):
     totals = jnp.sum(hist, axis=0, dtype=jnp.int32)
     flat = hist.T.reshape(-1)
     scanned = pr.exclusive_scan(flat)
-    base_tbl = scanned.reshape(radix, B).T.astype(jnp.int32)
-    dstart = base_tbl[0, :]
+    # (R, B) digit-major: the kernel's SMEM-prefetch layout (see
+    # _pass_kernel docstring — (B, R) lane-pads 8x and busts scoped smem).
+    base_tbl = scanned.reshape(radix, B).astype(jnp.int32)
+    dstart = base_tbl[:, 0]
 
     def run_pass(cur):
         outs, heads, tails = _radix_pass(
-            cur, base_tbl, hist.astype(jnp.int32), radix, rows, shift)
+            cur, base_tbl, hist.T.astype(jnp.int32), radix, rows, shift)
         fixed = []
         for p in range(len(cur)):
             o = _boundary_fixup(
@@ -594,12 +601,21 @@ def _pad_planes(arrs, fills, tile):
     return tuple(out), padded
 
 
-def _round_rows(n: int, rows: int) -> int:
+def _round_rows(n: int, rows: int, radix: int = 16) -> int:
     """Clamp the requested grid-step height to the input and round UP to a
     sublane multiple: the histogram/scan kernels tile (8, 128) sublane
     blocks, so the grid-step height must be 8-aligned (and at least one
-    sublane group)."""
-    return -(-max(8, min(rows, -(-n // LANES))) // 8) * 8
+    sublane group).
+
+    Also enforces the scoped-SMEM bound: the two (R, B) prefetch tables
+    cost 2*R*B*4 bytes of SMEM (B 128-padded), and v5e's scoped smem is
+    1 MiB — measured overflow at n=2^24/rows=128 with the old (B, R)
+    layout (docs/PROBES.md r4).  Capping R*B <= 32768 (256 KiB of tables)
+    auto-raises ``rows`` with n, so any n compiles: 2^27 at R=16 runs at
+    rows=512 (the r2 ablation measured rows=512 ~22% slower per pass than
+    rows=128 — the price of scale, not a cliff)."""
+    min_rows = -(-(n * radix) // (LANES * 32768))
+    return -(-max(8, min_rows, min(rows, -(-n // LANES))) // 8) * 8
 
 
 def _next_pow2(v: int) -> int:
@@ -650,7 +666,7 @@ def sort_planes(keys_u, payload_planes_i32=(), radix: int = 16,
     not just skipped.
     """
     n = keys_u.shape[0]
-    rows = _round_rows(n, rows)
+    rows = _round_rows(n, rows, radix)
     kplanes, kfills = _key_word_planes(keys_u)
     nk = len(kplanes)
     planes, padded = _pad_planes(
@@ -688,8 +704,8 @@ def partition_planes(bucket_ids, planes_i32, num_buckets: int,
     Returns (partitioned planes [:n], counts (num_buckets,) int32).
     """
     n = bucket_ids.shape[0]
-    rows = _round_rows(n, rows)
     radix = max(2, _next_pow2(num_buckets))
+    rows = _round_rows(n, rows, radix)
     ids = bucket_ids.astype(jnp.int32)
     planes, padded = _pad_planes(
         (ids,) + tuple(planes_i32),

@@ -37,7 +37,11 @@ def stable_partition(bucket_ids: jnp.ndarray, arrays, num_buckets: int,
     docs/DESIGN.md §2.2).
     method="stream": ONE streaming Pallas radix pass
     (pallas_stream.partition_planes) — 2 passes/byte of HBM traffic where
-    "sort" pays a full log-depth sort network.  Falls back to "sort" when
+    "sort" pays a full log-depth sort network.  Measured on v5e it LOSES
+    anyway (0.33-0.51x of "sort" at 1-4 payload planes, docs/PROBES.md
+    r4 + DESIGN.md §2.2e: the per-bucket dispatch bound dominates the
+    bandwidth it saves), so no production caller selects it; it remains
+    the validated TPU-native reorder.  Falls back to "sort" when
     a payload dtype is not 4/8-byte plane-representable, when n == 0, or
     when the bucket count (rounded up to a power of two) exceeds the
     hardware-verified radix cap of 256 (larger radices inflate the
@@ -105,6 +109,35 @@ def _counts_big(ids: jnp.ndarray, num_buckets: int, n: int) -> jnp.ndarray:
     blocks = idp.reshape(padded // m, m)
     counts = ranking.block_digit_counts(blocks, num_buckets + 1)
     return counts.sum(axis=0)[:num_buckets]
+
+
+def compact_prefix_slots(arrays, counts: jnp.ndarray, slot_len: int):
+    """Compact S fixed-length slots whose valid rows are each slot's prefix
+    into one contiguous prefix (order preserved across and within slots).
+
+    ``arrays`` are (S * slot_len,); slot s's valid rows are its first
+    ``counts[s]``.  Returns (arrays, total) with every valid row packed at
+    the front; rows past ``total`` are unspecified.
+
+    This is the all_to_all receive layout (exchange.slot_valid_mask) and
+    the shape of every sub-chunk stitch — compact_mask on such input pays
+    a full stable sort for what is slot bookkeeping.  Here: S overlapping
+    ``dynamic_update_slice`` writes in ascending slot order, each
+    overwriting the previous slot's padding tail — one HBM pass.
+    """
+    counts = counts.astype(jnp.int32)
+    S = counts.shape[0]
+    offs = jnp.cumsum(counts, dtype=jnp.int32) - counts
+    outs = []
+    for a in arrays:
+        slots = a.reshape(S, slot_len)
+        # +slot_len so the last write never clamps (offs[s] <= s*slot_len).
+        buf = jnp.zeros((S * slot_len + slot_len,), a.dtype)
+        for s in range(S):
+            buf = jax.lax.dynamic_update_slice(buf, slots[s], (offs[s],))
+        outs.append(buf[:S * slot_len])
+    return tuple(outs), jnp.sum(counts, dtype=jnp.int32,
+                                promote_integers=False)
 
 
 def compact_mask(mask: jnp.ndarray, arrays, block_elems: int = 1 << 16):

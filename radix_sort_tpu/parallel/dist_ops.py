@@ -144,8 +144,11 @@ def _shuffle_table_chunks(table_cols: Mapping, valid, key: str, D, axis,
         recv, rcounts, ovf = exchange.packed_all_to_all(
             parted, cnts[g * D:(g + 1) * D], starts[g * D:(g + 1) * D],
             D, capacity, axis, fills)
-        row_ok = exchange.slot_valid_mask(D, capacity, rcounts)
-        compacted, kept = part_ops.compact_mask(row_ok, recv)
+        # Received rows are valid by construction (padding never ships),
+        # so each source slot's valid rows are its prefix — slot-prefix
+        # compaction is one DUS pass, not a sort-based compact_mask.
+        compacted, kept = part_ops.compact_prefix_slots(recv, rcounts,
+                                                        capacity)
         out.append((dict(zip(names, compacted)), kept, ovf))
     return out
 
@@ -200,14 +203,15 @@ def dist_hash_aggregate(table: Table, key: str,
                     part_rows.append(out.num_rows)
                     overflow = jnp.logical_or(overflow, ovf)
                 # stitch: valid group rows of each sub-chunk, in g order
-                # (groups are disjoint across sub-chunks by hashing).
+                # (groups are disjoint across sub-chunks by hashing).  Each
+                # part's valid rows are its prefix (Table contract), so the
+                # stitch is a slot-prefix compaction — one DUS pass.
                 m = parts[0].capacity
-                validmask = jnp.concatenate(
-                    [jnp.arange(m, dtype=jnp.int32) < r for r in part_rows])
                 cat = tuple(
                     jnp.concatenate([p.columns[n] for p in parts])
                     for n in out_names)
-                packed, total = part_ops.compact_mask(validmask, cat)
+                packed, total = part_ops.compact_prefix_slots(
+                    cat, jnp.stack(part_rows), m)
                 return (dict(zip(out_names, packed)), total[None],
                         jax.lax.psum(overflow.astype(jnp.int32), axis))
 
@@ -378,14 +382,14 @@ def dist_hash_join(probe: Table, build: Table, key: str,
                     matches = matches + stats["match_count"]
                     shuffle_over = shuffle_over | p_over | b_over
                     join_over = join_over | stats["overflow"]
-                # stitch per-chunk match sets (disjoint by hashing).
+                # stitch per-chunk match sets (disjoint by hashing); valid
+                # rows are each part's prefix — slot-prefix compaction.
                 m = parts[0].capacity
-                validmask = jnp.concatenate(
-                    [jnp.arange(m, dtype=jnp.int32) < r for r in part_rows])
                 cat = tuple(
                     jnp.concatenate([p.columns[n] for p in parts])
                     for n in out_names)
-                packed, total = part_ops.compact_mask(validmask, cat)
+                packed, total = part_ops.compact_prefix_slots(
+                    cat, jnp.stack(part_rows), m)
                 return (dict(zip(out_names, packed)), total[None],
                         jax.lax.psum(matches, axis),
                         jax.lax.psum(shuffle_over.astype(jnp.int32), axis),

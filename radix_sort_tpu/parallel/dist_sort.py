@@ -272,24 +272,14 @@ def _dist_sort_shard(chunk_u, payloads, *, D, axis, capacity, samples,
             overflow = jnp.logical_or(overflow, ovf)
         # stitch: valid prefixes of each sorted sub-chunk, in g order.
         # Each part holds its valid rows as a contiguous prefix (the fused
-        # valid-first sort above), so G overlapping dynamic_update_slices
-        # lay them end-to-end — part g+1's write overwrites part g's
-        # padding tail.  One HBM pass where a compact_mask partition would
+        # valid-first sort above), so the stitch is a slot-prefix
+        # compaction — one DUS pass where a compact_mask partition would
         # pay a full sort network over the G·m concat.
         m = parts[0][0].shape[0]
-        offs = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32),
-             jnp.cumsum(jnp.stack(part_counts), dtype=jnp.int32)[:-1]])
-        stitched = []
-        for i in range(1 + len(payloads)):
-            fill = fills[i]
-            buf = jnp.full((G * m,), fill, dtype=parts[0][i].dtype)
-            for g in range(G):
-                # offs[g] <= g*m (each prior part contributes <= m rows),
-                # so no write ever clamps out of bounds.
-                buf = jax.lax.dynamic_update_slice(buf, parts[g][i],
-                                                   (offs[g],))
-            stitched.append(buf)
+        cat = tuple(jnp.concatenate([p[i] for p in parts])
+                    for i in range(1 + len(payloads)))
+        stitched, _ = part_ops.compact_prefix_slots(
+            cat, jnp.stack(part_counts), m)
         # Clamp to the global row count: the rebalance's destination
         # windows hold at most D*per_dev global rows — and a chip can
         # never hold more than the global N valid rows, so the slice
@@ -320,23 +310,14 @@ def _dist_sort_shard(chunk_u, payloads, *, D, axis, capacity, samples,
     counts2 = hi2 - lo2
     (recv2, recv2_counts, overflow2) = exchange.packed_all_to_all(
         (ks,) + tuple(ps), counts2, lo2, D, dense_capacity, axis, fills)
-    # Unpack: source s's valid prefix lands at the running offset; later
-    # writes overwrite the previous slot's padding tail.  Every global
-    # position in my window has exactly one owner, so the offsets sum to
-    # exactly n valid rows — one HBM pass replaces the old sort-based
-    # compact_mask.
-    offs2 = (jnp.cumsum(recv2_counts, dtype=jnp.int32) - recv2_counts)
-    C2 = dense_capacity
-    out_arrays = []
-    for a, fill in zip(recv2, fills):
-        slots = a.reshape(D, C2)
-        buf = jnp.full((n + C2,), fill, dtype=a.dtype)
-        for s in range(D):
-            # offs2[s] <= s*C2 <= n, so no write ever clamps.
-            buf = jax.lax.dynamic_update_slice(buf, slots[s], (offs2[s],))
-        out_arrays.append(buf[:n])
-    ks_final = out_arrays[0]
-    ps_final = tuple(out_arrays[1:])
+    # Unpack: source s's valid prefix lands at the running offset (slot-
+    # prefix compaction).  Every global position in my window has exactly
+    # one owner, so the prefixes sum to exactly n valid rows — one HBM
+    # pass replaces the old sort-based compact_mask.
+    unpacked, _ = part_ops.compact_prefix_slots(recv2, recv2_counts,
+                                                dense_capacity)
+    ks_final = unpacked[0][:n]
+    ps_final = tuple(a[:n] for a in unpacked[1:])
     return (ks_final,) + ps_final + (
         jnp.logical_or(overflow, overflow2).astype(jnp.int32),)
 

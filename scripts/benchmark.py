@@ -238,7 +238,7 @@ def main():
                     pstream.sort_planes).parameters["radix"].default
                 phase_passes = (np.dtype(dt).itemsize * 8
                                 ) // int(np.log2(stream_radix))
-                srows = pstream._round_rows(n, 128)
+                srows = pstream._round_rows(n, 128, stream_radix)
                 tile = srows * pstream.LANES
 
                 def _sprep(k):

@@ -55,6 +55,50 @@ def test_compact_mask():
     assert np.array_equal(np.asarray(out)[:3], [0, 2, 4])
 
 
+@pytest.mark.parametrize("counts", [[3, 0, 4, 1], [0, 0, 0], [4, 4],
+                                    [0, 2, 0, 3, 0]])
+def test_compact_prefix_slots(counts):
+    slot = 4
+    counts = np.asarray(counts, np.int32)
+    S = counts.shape[0]
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 1 << 30, size=S * slot).astype(np.int32)
+    b = rng.integers(0, 1 << 30, size=S * slot).astype(np.uint32)
+    (oa, ob), total = partition.compact_prefix_slots(
+        (jnp.asarray(a), jnp.asarray(b)), jnp.asarray(counts), slot)
+    want_a = np.concatenate(
+        [a[s * slot: s * slot + counts[s]] for s in range(S)] or
+        [a[:0]])
+    want_b = np.concatenate(
+        [b[s * slot: s * slot + counts[s]] for s in range(S)] or
+        [b[:0]])
+    t = int(total)
+    assert t == counts.sum()
+    assert np.array_equal(np.asarray(oa)[:t], want_a)
+    assert np.array_equal(np.asarray(ob)[:t], want_b)
+    # same answer under jit (trace-level, static shapes)
+    (ja,), jt = jax.jit(
+        lambda x, c: partition.compact_prefix_slots((x,), c, slot))(
+        jnp.asarray(a), jnp.asarray(counts))
+    assert int(jt) == t and np.array_equal(np.asarray(ja)[:t], want_a)
+
+
+def test_compact_prefix_slots_matches_compact_mask():
+    # the layout contract: prefix-valid slots — both primitives agree
+    rng = np.random.default_rng(2)
+    slot, S = 8, 5
+    counts = rng.integers(0, slot + 1, size=S).astype(np.int32)
+    vals = rng.integers(0, 100, size=S * slot).astype(np.int32)
+    mask = (np.arange(S * slot) % slot) < np.repeat(counts, slot)
+    (want,), kept = partition.compact_mask(
+        jnp.asarray(mask), (jnp.asarray(vals),))
+    (got,), total = partition.compact_prefix_slots(
+        (jnp.asarray(vals),), jnp.asarray(counts), slot)
+    assert int(total) == int(kept)
+    k = int(kept)
+    assert np.array_equal(np.asarray(got)[:k], np.asarray(want)[:k])
+
+
 # ------------------------------------------------------------------ filter
 
 def test_filter_table():

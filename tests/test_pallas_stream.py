@@ -346,15 +346,16 @@ def test_stream_kv_single_pass_oracle():
     vals = np.arange(n, dtype=np.int32)
     digits = (keys & (R - 1)).astype(np.int32)
     hist = pr.digit_histogram(jnp.asarray(digits), R, rows * 128)
+    # (R, B) digit-major tables — the kernel's SMEM-prefetch layout
     base = pr.exclusive_scan(
-        hist.T.reshape(-1)).reshape(R, B).T.astype(jnp.int32)
+        hist.T.reshape(-1)).reshape(R, B).astype(jnp.int32)
     planes = (jax.lax.bitcast_convert_type(jnp.asarray(keys), jnp.int32),
               jnp.asarray(vals))
     outs, heads, tails = ps._radix_pass(
-        planes, base, hist.astype(jnp.int32), R, rows, 0)
+        planes, base, hist.T.astype(jnp.int32), R, rows, 0)
     totals = jnp.sum(hist, axis=0)
     fixed = [ps._boundary_fixup(outs[p], heads[p * R:(p + 1) * R],
-                                tails[p * R:(p + 1) * R], base[0, :],
+                                tails[p * R:(p + 1) * R], base[:, 0],
                                 totals, R).reshape(-1)
              for p in range(2)]
     order = np.argsort(digits, kind="stable")
