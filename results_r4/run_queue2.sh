@@ -70,7 +70,10 @@ timeout 5400 python scripts/stream_partition_probe.py 22 24 \
   > results_r4/stream_partition_try2.log 2>&1
 echo "stream_partition_try2 exit=$?" >> results_r4/queue_status.txt
 
-# stamp the round-over-round series for the scored metric
+# publish the scored metric + stamp the round-over-round series
+python scripts/publish_baseline.py \
+  > results_r4/publish.log 2>&1
+echo "publish exit=$?" >> results_r4/queue_status.txt
 python scripts/headline.py --round r4 \
   > results_r4/headline_r4.log 2>&1
 echo "headline exit=$?" >> results_r4/queue_status.txt

@@ -1,0 +1,62 @@
+"""Fill BASELINE.json's "published" block from BASELINE_RESULTS.json.
+
+The scored metric (BASELINE.json line 2) is "u32 KV sort keys/s/chip at
+2^27; join+agg rows/s at 1/N hosts; exact parity".  This script copies
+the relevant measured entries — config2 KV rows at the headline size,
+the largest-n config3/config4 rows, and config5 — into "published", so
+the scored artifact carries its own numbers (VERDICT r3 missing #1:
+"published" was {} for three rounds).
+
+Usage: python scripts/publish_baseline.py   (pure JSON transform, no TPU)
+"""
+
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    with open(os.path.join(ROOT, "BASELINE_RESULTS.json")) as f:
+        res = json.load(f)
+    path = os.path.join(ROOT, "BASELINE.json")
+    with open(path) as f:
+        base = json.load(f)
+
+    pub = {}
+    # headline: config2 KV at the largest measured n per (dtype, dist)
+    best_n = {}
+    for name, row in res.items():
+        if not name.startswith("config2_kv_") or row.get("failed"):
+            continue
+        parts = name.split("_")          # config2 kv u32 Zeros [2^27] ...
+        dt, dist = parts[2], parts[3]
+        n = row.get("n", 1 << 20)
+        key = (dt, dist)
+        if key not in best_n or n > best_n[key][0]:
+            best_n[key] = (n, name, row)
+    for (dt, dist), (n, name, row) in sorted(best_n.items()):
+        pub[f"kv_sort_{dt}_{dist}"] = {
+            "n": n, "mpairs_per_s": row["mpairs_per_s"],
+            "valid": row["valid"],
+            **({"roofline_frac": row["roofline_frac"]}
+               if "roofline_frac" in row else {}),
+            "source": name,
+        }
+
+    # operators + multi-host: largest-n row per config family
+    for fam in ("config1", "config3", "config4", "config5"):
+        cands = [(r.get("n", 0), nm, r) for nm, r in res.items()
+                 if nm.startswith(fam) and not r.get("failed")]
+        if cands:
+            n, nm, r = max(cands)
+            pub[fam] = {"source": nm, **r}
+
+    base["published"] = pub
+    with open(path, "w") as f:
+        json.dump(base, f, indent=2)
+    print(json.dumps({"published_entries": len(pub)}))
+
+
+if __name__ == "__main__":
+    main()
