@@ -2,15 +2,23 @@
 """Headline benchmark: u32 sort, 2^25 uniform-random keys — the reference's
 flagship row (Performance/performance_uniform.csv:101: 740.664 ms on a
 GTX 680 → 45.3 Mkeys/s).  Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...audit...}
 
 vs_baseline is our keys/s over the reference's 45.3 Mkeys/s.
 
-Timing: the sort is run as a chained fori_loop of R reps inside one jit
-(sequential dependency) and synced with a device_get of a dependent slice;
-per-sort time = (T(R) - T(1)) / (R - 1).  This cancels dispatch overhead and
-is robust to transports whose block_until_ready acks early (axon tunnel).
-The full sweep harness lives in scripts/benchmark.py.
+Timing (self-checking — VERDICT r4 weak #1: a ~65 ms transport hiccup in
+the 1-rep arm of a 2-arm subtraction once doubled the reported rate to an
+unreproducible 1766 Mkeys/s):
+  * ONE jit with a dynamic fori_loop bound serves every rep count.
+  * three arms R=1,5,17: rate = (T(17)-T(1))/16 — the delta spans 16
+    sorts (~660 ms at 2^25), so an O(10-65 ms) hiccup moves it <10%.
+  * rejection: a run where T(17) < 16*T(1)*0.7 has an inflated T(1)
+    (the 1766 signature) and is re-measured.
+  * cross-check: the independent subtraction (T(17)-T(5))/12 must agree
+    within 10% or the whole measurement is re-taken; after 4 attempts
+    the row is emitted with "suspect": true rather than silently wrong.
+All arms are min-over-iters; the JSON carries t1/t5/t17 and both derived
+rates so the subtraction is auditable after the fact.
 """
 
 import json
@@ -20,28 +28,50 @@ import numpy as np
 
 BASELINE_MKEYS_PER_SEC = 33_554_432 / 0.740664 / 1e6  # 45.30 Mkeys/s
 LOG2N = 25
+REPS = (1, 5, 17)
 
 
-def timed_chain(fn, x, reps=4, iters=3, warmup=2):
+def timed_chain(fn, x, reps=REPS, iters=3, warmup=1):
+    """Return (secs_per_call, audit_dict). See module docstring."""
     import jax
+    import jax.numpy as jnp
 
-    def chained(r):
-        return jax.jit(
-            lambda a: jax.lax.fori_loop(0, r, lambda _, v: fn(v), a))
-
-    f1, fr = chained(1), chained(reps)
+    chained = jax.jit(
+        lambda a, r: jax.lax.fori_loop(0, r, lambda _, v: fn(v), a))
+    rs = [jnp.int32(r) for r in reps]
 
     def sync(out):
         np.asarray(out[:1])
 
     for _ in range(warmup):
-        sync(f1(x))
-        sync(fr(x))
-    t1s, trs = [], []
-    for _ in range(iters):
-        t0 = time.perf_counter(); sync(f1(x)); t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); sync(fr(x)); trs.append(time.perf_counter() - t0)
-    return max(1e-9, (min(trs) - min(t1s)) / (reps - 1))
+        for r in rs:
+            sync(chained(x, r))
+
+    rate_a = rate_b = best = None
+    for attempt in range(4):
+        best = [1e9] * len(reps)
+        for _ in range(iters):
+            for i, r in enumerate(rs):
+                t0 = time.perf_counter()
+                sync(chained(x, r))
+                best[i] = min(best[i], time.perf_counter() - t0)
+        t1, tm, tR = best
+        rate_a = max(1e-9, (tR - t1) / (reps[2] - reps[0]))
+        rate_b = max(1e-9, (tR - tm) / (reps[2] - reps[1]))
+        clean_t1 = tR >= (reps[2] - 1) * t1 * 0.7
+        agree = abs(rate_a - rate_b) <= 0.10 * max(rate_a, rate_b)
+        if clean_t1 and agree:
+            break
+        print(f"# suspect timing attempt {attempt}: t1={t1*1e3:.1f}ms "
+              f"t{reps[1]}={tm*1e3:.1f}ms t{reps[2]}={tR*1e3:.1f}ms — retry")
+    audit = {
+        "t1_ms": round(best[0] * 1e3, 2),
+        f"t{reps[1]}_ms": round(best[1] * 1e3, 2),
+        f"t{reps[2]}_ms": round(best[2] * 1e3, 2),
+        "rate_cross_ms": round(rate_b * 1e3, 2),
+        "suspect": not (clean_t1 and agree),
+    }
+    return rate_a, audit
 
 
 def main():
@@ -57,7 +87,7 @@ def main():
     keys = jax.device_put(jnp.asarray(data))
 
     cfg = SortConfig(engine="auto")
-    secs = timed_chain(lambda k: sort(k, config=cfg), keys)
+    secs, audit = timed_chain(lambda k: sort(k, config=cfg), keys)
     mkeys = n / secs / 1e6
 
     # Validation: on-device sortedness + multiset checksum, plus bit-exact
@@ -82,6 +112,7 @@ def main():
         "value": round(mkeys, 2),
         "unit": "Mkeys/s",
         "vs_baseline": round(mkeys / BASELINE_MKEYS_PER_SEC, 2),
+        **audit,
     }))
 
 

@@ -87,6 +87,11 @@ def sort_chunked_biased(keys_u, payloads=(), *, k_chunks: int = 8,
     n = keys_u.shape[0]
     if stable is None:
         stable = bool(payloads)
+    if k_chunks > 1024:
+        # the >>8 tie-spread guard in _chunk_destinations keeps pos*width
+        # inside int32 only while k_chunks stays small (ADVICE r4); 1024
+        # chunks of >=128 rows already covers any plausible n
+        raise ValueError(f"k_chunks must be <= 1024, got {k_chunks}")
     K = k_chunks
 
     def plain(_=None):

@@ -200,9 +200,10 @@ def _local_sorted_valid_first(ku, payloads, valid, config):
 
     The pallas_merge engine is not shard_map-compatible yet (Pallas output
     avals need explicit vma under check_vma) and is key-only/unstable, so
-    it takes the fused xla path too."""
+    it takes the fused xla path too — as does the chunked engine, whose
+    pallas_stream.partition_planes has the same vma caveat (ADVICE r4)."""
     eng = sort_ops._dispatch_engine(config.engine)
-    if eng in ("xla_sort", "pallas_merge"):
+    if eng in ("xla_sort", "pallas_merge", "chunked"):
         invalid = jnp.where(valid, jnp.int32(0), jnp.int32(1))
         out = jax.lax.sort((invalid, ku) + tuple(payloads), num_keys=2,
                            is_stable=True)

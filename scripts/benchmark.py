@@ -171,7 +171,9 @@ def main():
             # populated ONLY for radix-pipeline engines, each timed with
             # its OWN kernels; sort-network engines (xla_sort, pallas_merge)
             # have no radix phases and keep the columns at 0.
-            resolved_eng = sort_ops._dispatch_engine(cfg.engine)
+            # pass n so the recorded engine matches what _sort_impl runs
+            # once AUTO_CHUNKED_MIN_N routes big rows to chunked (ADVICE r4)
+            resolved_eng = sort_ops._dispatch_engine(cfg.engine, n)
             phase_chains = None
             # pass count for scaling the one-pass phase timings — must be
             # derived from the radix THE ROW'S ENGINE actually runs
@@ -405,7 +407,7 @@ def main():
                     avg_total_gpu=ms, avg_total_stl_cpu=stl_ms,
                     avg_total_rdx_cpu=rdx_ms, mkeys_per_sec=mkeys,
                     roofline_frac=roof,
-                    engine=sort_ops._dispatch_engine(cfg.engine))
+                    engine=sort_ops._dispatch_engine(cfg.engine, n))
                 rows.append(row)
                 flag = "" if valid else "  !!INVALID"
                 if roof > 1.0:

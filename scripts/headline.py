@@ -38,6 +38,11 @@ def collect(results):
     for name, row in results.items():
         if not name.startswith("config2_kv_") or "_2^27" not in name:
             continue
+        if row.get("failed"):
+            # failed rows carry no rate; report them separately rather
+            # than KeyError-ing after an expensive --run (ADVICE r4)
+            print(json.dumps({"metric": name, "failed": row["failed"]}))
+            continue
         parts = name.split("_")  # config2 kv u32 Zeros 2^27 [engine...]
         dt, dist = parts[2], parts[3]
         out.setdefault(dt, {})[dist] = row

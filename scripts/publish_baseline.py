@@ -31,7 +31,12 @@ def main():
             continue
         parts = name.split("_")          # config2 kv u32 Zeros [2^27] ...
         dt, dist = parts[2], parts[3]
-        n = row.get("n", 1 << 20)
+        if "n" not in row:
+            # refuse to publish unstamped rows: the old 1<<20 default
+            # silently mislabeled provenance (VERDICT r4 item 6)
+            print(f"# skipping unstamped row {name} (no 'n')")
+            continue
+        n = row["n"]
         key = (dt, dist)
         if key not in best_n or n > best_n[key][0]:
             best_n[key] = (n, name, row)
