@@ -105,11 +105,15 @@ def config2():
             jax.config.update("jax_enable_x64", True)
         vd = jax.device_put(jnp.asarray(vals))
         # jit once per dtype; reuse across the four distributions (remote
-        # compiles are minutes each).
+        # compiles are minutes each).  vd is an ARGUMENT, never a closure
+        # capture: captured device arrays are serialized into the compile
+        # request as literals, and at 2^27 the 512 MB body exceeds the
+        # remote-compile transport's length limit (HTTP 413 — the root
+        # cause of the r1-r4 headline "failed=compile"; results_r5/).
         eng = os.environ.get("RST_ENGINE")
-        step = lambda k: sort_kv(k, vd, engine=eng)[0]  # noqa: E731
-        chained = jax.jit(lambda a, r: jax.lax.fori_loop(
-            0, r, lambda _, v: step(v), a))
+        step = lambda k, v: sort_kv(k, v, engine=eng)[0]  # noqa: E731
+        chained = jax.jit(lambda a, v, r: jax.lax.fori_loop(
+            0, r, lambda _, kk: step(kk, v), a))
         full = jax.jit(lambda k, v: sort_kv(k, v, engine=eng))
         # Full on-device stable-KV validation (payload = iota): sorted keys
         # + keys match input at the permutation + payload is a permutation
@@ -142,9 +146,9 @@ def config2():
         mode = {"m": "fori", "u1": None, "uR": None}
 
         def unrolled(r):
-            def _f(a):
+            def _f(a, v):
                 for _ in range(r):
-                    a = step(a)
+                    a = step(a, v)
                 return a
             return jax.jit(_f)
 
@@ -170,7 +174,7 @@ def config2():
             # dtype, then record failures per-combo and keep sweeping.
             if mode["m"] == "fori":
                 try:
-                    sync(chained(kd, r1)); sync(chained(kd, rR))
+                    sync(chained(kd, vd, r1)); sync(chained(kd, vd, rR))
                 except Exception as e:  # noqa: BLE001
                     print(f"# config2 fori chain failed "
                           f"({type(e).__name__}); unrolled fallback",
@@ -180,7 +184,7 @@ def config2():
                 reps = min(reps, 4)
                 try:
                     mode["u1"], mode["uR"] = unrolled(1), unrolled(reps)
-                    sync(mode["u1"](kd)); sync(mode["uR"](kd))
+                    sync(mode["u1"](kd, vd)); sync(mode["uR"](kd, vd))
                 except Exception as e2:  # noqa: BLE001
                     print(f"# unrolled-4 failed too ({type(e2).__name__});"
                           f" reps=2", flush=True)
@@ -190,7 +194,7 @@ def config2():
                 reps = 2
                 try:
                     mode["u1"], mode["uR"] = unrolled(1), unrolled(2)
-                    sync(mode["u1"](kd)); sync(mode["uR"](kd))
+                    sync(mode["u1"](kd, vd)); sync(mode["uR"](kd, vd))
                 except Exception:  # noqa: BLE001
                     mode["m"] = "fail"
             if mode["m"] == "fail":
@@ -200,10 +204,12 @@ def config2():
                        failed="compile", n=n, engine=eng or "auto")
                 continue
             if mode["m"] == "fori":
-                run1 = lambda a: chained(a, r1)    # noqa: E731
-                runR = lambda a: chained(a, rR)    # noqa: E731
+                run1 = lambda a: chained(a, vd, r1)    # noqa: E731
+                runR = lambda a: chained(a, vd, rR)    # noqa: E731
             else:
-                run1, runR = mode["u1"], mode["uR"]
+                _u1, _uR = mode["u1"], mode["uR"]
+                run1 = lambda a: _u1(a, vd)            # noqa: E731
+                runR = lambda a: _uR(a, vd)            # noqa: E731
                 sync(run1(kd)); sync(runR(kd))  # warm this dataset
             t1 = tr = 1e9
             for _ in range(2):

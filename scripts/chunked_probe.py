@@ -103,17 +103,22 @@ def main():
                           "ok": ok}), flush=True)
 
         # --- stable KV (headline shape) ---
-        def stepkv_xla(k):
-            ko2, _ = jax.lax.sort((k, vals), num_keys=1, is_stable=True)
-            return ko2
+        # the payload rides the fori carry tuple, NEVER a closure capture:
+        # a captured device array becomes a 512 MB literal in the compile
+        # request and the transport rejects it (HTTP 413 — see
+        # scripts/headline_probe.py)
+        def stepkv_xla(t):
+            ko2, vo2 = jax.lax.sort(t, num_keys=1, is_stable=True)
+            return ko2, vo2
 
-        def stepkv_chunk(k):
-            ko2, _ = chunked_sort.sort_chunked_biased(k, (vals,))
-            return ko2
+        def stepkv_chunk(t):
+            k, v = t
+            ko2, (vo2,) = chunked_sort.sort_chunked_biased(k, (v,))
+            return ko2, vo2
 
         for name, step in (("xla_stable_kv", stepkv_xla),
                            ("chunked_kv", stepkv_chunk)):
-            secs = timed(step, keys)
+            secs = timed(step, (keys, vals))
             print(json.dumps({"probe": "kv", "n": f"2^{ln}",
                               "engine": name,
                               "ms": round(secs * 1e3, 2),

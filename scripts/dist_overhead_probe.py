@@ -59,26 +59,30 @@ def main():
         lambda k, v: fn(k, (v,)), mesh=mesh,
         in_specs=(spec, spec), out_specs=(spec, spec, P()))
 
-    def dist_step(k):
-        return shard(k, vals)[0]
+    # vals rides every jit as an ARGUMENT, never a closure capture: a
+    # captured device array is serialized into the compile request as a
+    # literal (128 MB at 2^25 — the r4 "134 MB MLIR module" SIGKILL; 512
+    # MB at 2^27 → HTTP 413).  See scripts/headline_probe.py.
+    def dist_step(k, v):
+        return shard(k, v)[0]
 
-    def local_step(k):
-        return sort_kv(k, vals)[0]
+    def local_step(k, v):
+        return sort_kv(k, v)[0]
 
     def timed(step, x, reps=8):
-        chained = jax.jit(lambda a, r: jax.lax.fori_loop(
-            0, r, lambda _, v: step(v), a))
+        chained = jax.jit(lambda a, v, r: jax.lax.fori_loop(
+            0, r, lambda _, kk: step(kk, v), a))
         r1, rR = jnp.int32(1), jnp.int32(reps)
 
         def sync(o):
             np.asarray(o[:1])
 
-        sync(chained(x, r1)); sync(chained(x, rR))
+        sync(chained(x, vals, r1)); sync(chained(x, vals, rR))
         t1 = tr = 1e9
         for _ in range(3):
-            t0 = time.perf_counter(); sync(chained(x, r1))
+            t0 = time.perf_counter(); sync(chained(x, vals, r1))
             t1 = min(t1, time.perf_counter() - t0)
-            t0 = time.perf_counter(); sync(chained(x, rR))
+            t0 = time.perf_counter(); sync(chained(x, vals, rR))
             tr = min(tr, time.perf_counter() - t0)
         return max(1e-9, (tr - t1) / (reps - 1))
 

@@ -89,24 +89,31 @@ def main():
           f"dtype={dname} mode={mode} n=2^{log2n}", flush=True)
 
     vals = jax.device_put(jnp.arange(n, dtype=jnp.int32))
-    step = lambda k: sort_kv(k, vals)[0]                    # noqa: E731
+    # CRITICAL: vals must be an ARGUMENT of every jit, never a closure
+    # capture — a captured device array is baked into the serialized
+    # module as a 512 MB literal and the remote-compile transport rejects
+    # the body with HTTP 413 (the true cause of r1-r4's 2^27 stable-KV
+    # "failed=compile" / broken-pipe headline failures; measured
+    # 2026-08-20, results_r5/headline_u32_fori.log first attempt).
+    step = lambda k, v: sort_kv(k, v)[0]                    # noqa: E731
     full = jax.jit(lambda k, v: sort_kv(k, v))
 
     reps = {"fori": 5, "u4": 4, "u2": 2, "u1": 1}[mode]
     if mode == "fori":
-        chained = jax.jit(lambda a, r: jax.lax.fori_loop(
-            0, r, lambda _, v: step(v), a))
-        run1 = lambda a: chained(a, jnp.int32(1))           # noqa: E731
-        runR = lambda a: chained(a, jnp.int32(reps))        # noqa: E731
+        chained = jax.jit(lambda a, v, r: jax.lax.fori_loop(
+            0, r, lambda _, kk: step(kk, v), a))
+        run1 = lambda a: chained(a, vals, jnp.int32(1))     # noqa: E731
+        runR = lambda a: chained(a, vals, jnp.int32(reps))  # noqa: E731
     else:
         def unrolled(r):
-            def _f(a):
+            def _f(a, v):
                 for _ in range(r):
-                    a = step(a)
+                    a = step(a, v)
                 return a
             return jax.jit(_f)
-        run1 = unrolled(1)
-        runR = unrolled(reps) if reps > 1 else run1
+        _u1, _uR = unrolled(1), (unrolled(reps) if reps > 1 else None)
+        run1 = lambda a: _u1(a, vals)                       # noqa: E731
+        runR = (lambda a: _uR(a, vals)) if reps > 1 else run1  # noqa: E731
 
     def _check(k_in, k_out, v_out):
         sorted_ok = jnp.all(k_out[1:] >= k_out[:-1])
