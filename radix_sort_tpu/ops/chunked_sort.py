@@ -1,9 +1,20 @@
-"""Range-chunked single-chip sort — attacks lax.sort's log^2(n) falloff.
+"""Range-chunked single-chip sort — attacked lax.sort's log^2(n)
+falloff; REFUTED on hardware, kept as the validated reference
+implementation of range chunking (the distributed layer reuses the
+same splitter/tie-spread machinery).
 
-Measured on v5e (docs/PROBES.md): u32 key-only ``lax.sort`` runs ~909
-Melem/s at 2^24 but only ~630 Mkeys/s at 2^27 — a sorting network's
-per-element cost grows with depth, so big arrays pay more PER ELEMENT.
-This engine buys the small-n rate for big n:
+**Measured closure (r5, results_r5/chunked_ab_27.log):** at 2^27 on
+v5e this engine runs 180.4 Mkeys/s key-only vs plain lax.sort's 636.4
+(0.28x), and 99.0 Mpairs/s stable-KV vs 228.2 (0.43x) in the same
+harness.  The premise below — "ONE streaming partition pass ~2 HBM
+passes" — was priced on hardware at 265.8 Melem/s for the partition
+alone (docs/PROBES.md r4), i.e. ~506 ms at 2^27 to chase a ~80 ms
+falloff: the dispatch-bound partition costs ~5x what re-batching
+saves, the same O(R)-per-element wall as every other TPU radix route
+(docs/DESIGN.md 2.2c/e/f).  AUTO_CHUNKED_MIN_N therefore stays None —
+`auto` never dispatches here; this module remains for parity/testing.
+
+Original design (kept for the record):
 
   1. sample    — strided key samples, sorted; K-1 order statistics become
                  range splitters (the on-chip twin of dist_sort's

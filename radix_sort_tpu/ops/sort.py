@@ -178,10 +178,12 @@ def _xla_sort_engine(keys_u, payloads, n):
     return out[0], out[1:]
 
 
-# "auto" routes to the chunked engine at and above this size (None =
-# never).  Set from hardware A/B data (scripts/chunked_probe.py, docs/
-# PROBES.md r4): below it the plain network wins; at/above it the
-# log^2(n) stage growth makes range-chunking pay for its partition pass.
+# "auto" routes to the chunked engine at and above this size.  None =
+# never — the MEASURED value (scripts/chunked_probe.py at 2^27,
+# results_r5/chunked_ab_27.log): chunked runs 0.28x of lax.sort
+# key-only and 0.43x stable-KV at the largest size, so there is no
+# crossover; the partition pass costs ~5x the falloff it chases
+# (docs/DESIGN.md §2.2f).
 AUTO_CHUNKED_MIN_N: int | None = None
 
 
