@@ -356,7 +356,10 @@ def dist_sort_kv(keys: jnp.ndarray, values: Any = None,
     leaves = tuple(sort_ops._pad_1d(l, padded_n, 0) for l in leaves)
 
     per_dev = padded_n // D
-    G = max(1, overlap_chunks)
+    # Overlap only helps when there is wire time to hide; at D=1 the
+    # sub-chunk pipeline is pure overhead (measured 2.2x at G=2 on the
+    # D=1 mesh — results_r5/dist_overhead_cpu_g2.log, RESULTS_R5.md §3).
+    G = max(1, overlap_chunks) if D > 1 else 1
     samples = min(samples_per_device * G, per_dev)
 
     # Fixed-capacity shuffle with host-level escalation: start with the

@@ -32,6 +32,16 @@ def main():
     n = 1 << log2n
 
     import jax
+
+    if os.environ.get("RST_FORCE_CPU"):
+        # simulated mesh: local compiles dodge the remote-compile service,
+        # which the G=2 chained shard program crashes (results_r5/
+        # dist_overhead_g2_24.log: transport EOF after ~30 min) — CPU
+        # numbers are shape-only but validate the overlapped path
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device"
+                                     "_count=8").strip()
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 

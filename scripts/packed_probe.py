@@ -121,6 +121,28 @@ def main():
             return s
         secs, t1, tr = timed(step, (packed, vals))
 
+    elif mode == "two_key":
+        # (key, position) lexicographic with the UNSTABLE network — the
+        # composite key is unique, so the result is exactly the stable
+        # order, with no u64/x64 requirement.  Payload rides as a third
+        # operand; carry = keys (iota + payload regenerated per rep
+        # inside the jit as iota, payload passed as arg).
+        vals = jax.device_put(jnp.arange(n, dtype=jnp.int32))
+        def step(k, v):
+            ko, _, _ = jax.lax.sort(
+                (k, jax.lax.iota(jnp.uint32, n), v), num_keys=2,
+                is_stable=False)
+            return ko
+        secs, t1, tr = timed(step, (keys32, vals))
+        def both(k, v):
+            ko_t, po_t, vo_t = jax.lax.sort(
+                (k, jax.lax.iota(jnp.uint32, n), v), num_keys=2,
+                is_stable=False)
+            ko_s, vo_s = jax.lax.sort((k, v), num_keys=1, is_stable=True)
+            return jnp.all(ko_t == ko_s) & jnp.all(vo_t == vo_s)
+        ok = bool(jax.jit(both)(keys32, vals))
+        print(json.dumps({"probe": "two_key_valid", "ok": ok}), flush=True)
+
     else:
         raise SystemExit(f"unknown mode {mode}")
 

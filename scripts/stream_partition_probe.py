@@ -22,23 +22,27 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed(step, x, reps=8, iters=3):
+def timed(step, x, rest=(), reps=8, iters=3):
+    # ``rest`` (payload planes) rides as a jit ARGUMENT: closure-captured
+    # device arrays are serialized into the compile request as literals
+    # and 4 planes at 2^24 (256 MB) exceed the transport's length limit
+    # (HTTP 413 — results_r5/stream_partition_try2.log; CLAUDE.md).
     import jax
     import jax.numpy as jnp
 
-    chained = jax.jit(lambda a, r: jax.lax.fori_loop(
-        0, r, lambda _, v: step(v), a))
+    chained = jax.jit(lambda a, rr, r: jax.lax.fori_loop(
+        0, r, lambda _, v: step(v, rr), a))
     r1, rR = jnp.int32(1), jnp.int32(reps)
 
     def sync(o):
         np.asarray(jax.tree.leaves(o)[0][:1])
 
-    sync(chained(x, r1)); sync(chained(x, rR))
+    sync(chained(x, rest, r1)); sync(chained(x, rest, rR))
     t1 = tr = 1e9
     for _ in range(iters):
-        t0 = time.perf_counter(); sync(chained(x, r1))
+        t0 = time.perf_counter(); sync(chained(x, rest, r1))
         t1 = min(t1, time.perf_counter() - t0)
-        t0 = time.perf_counter(); sync(chained(x, rR))
+        t0 = time.perf_counter(); sync(chained(x, rest, rR))
         tr = min(tr, time.perf_counter() - t0)
     return max(1e-9, (tr - t1) / (reps - 1))
 
@@ -101,16 +105,16 @@ def measure(log2n, nplanes_list=(1, 2, 4), nb=16):
     for npl in nplanes_list:
         pls = planes[:npl]
 
-        def step_stream(i):
-            o, _ = ps.partition_planes(i, pls, nb)
+        def step_stream(i, rr):
+            o, _ = ps.partition_planes(i, rr, nb)
             return o[0] ^ i if npl else i
 
-        def step_sort(i):
-            o, _, _ = partition.stable_partition(i, pls, nb, method="sort")
+        def step_sort(i, rr):
+            o, _, _ = partition.stable_partition(i, rr, nb, method="sort")
             return o[0] ^ i
 
-        t_stream = timed(step_stream, ids)
-        t_sort = timed(step_sort, ids)
+        t_stream = timed(step_stream, ids, pls)
+        t_sort = timed(step_sort, ids, pls)
         row = {"n": n, "nb": nb, "payload_planes": npl,
                "stream_ms": round(t_stream * 1e3, 3),
                "lax_sort_ms": round(t_sort * 1e3, 3),
