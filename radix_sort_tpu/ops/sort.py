@@ -170,11 +170,25 @@ def _pallas_merge_engine(keys_u, payloads, n):
 
 
 def _xla_sort_engine(keys_u, payloads, n):
-    operands = (keys_u,) + tuple(payloads)
     # Key-only sorts don't need stability (equal keys are bit-identical) and
     # XLA's unstable network is ~2x faster on TPU (805 vs 408 Mkeys/s @ 2^25
     # on v5e).  Payload-carrying sorts keep the stable contract.
-    out = jax.lax.sort(operands, num_keys=1, is_stable=bool(payloads))
+    if payloads and np.dtype(keys_u.dtype).itemsize == 4:
+        # Two-key stability-by-uniqueness: sort (key, position) with the
+        # UNSTABLE network — the composite key is unique, so the single
+        # consistent order IS the stable order, bit-identical to
+        # is_stable=True (validated on v5e at 2^27, results_r5/
+        # packed_two_key.log) and measured 2.5% faster for 4-byte keys
+        # (407.1 vs 418 ms at 2^27).  8-byte keys LOSE 12% under the
+        # extra operand (packed_two_key_u64.log) and keep the stable
+        # network.  Position is per-call local (shard-local under
+        # shard_map), which matches the per-shard stability contract.
+        iota = jax.lax.iota(jnp.uint32, keys_u.shape[0])
+        out = jax.lax.sort((keys_u, iota) + tuple(payloads), num_keys=2,
+                           is_stable=False)
+        return out[0], out[2:]
+    out = jax.lax.sort((keys_u,) + tuple(payloads), num_keys=1,
+                       is_stable=bool(payloads))
     return out[0], out[1:]
 
 

@@ -143,6 +143,34 @@ def main():
         ok = bool(jax.jit(both)(keys32, vals))
         print(json.dumps({"probe": "two_key_valid", "ok": ok}), flush=True)
 
+    elif mode == "two_key_u64":
+        # does the two-key trick hold for 64-bit keys? (u64 keys + u32
+        # iota tie-break vs the stable two-operand u64 sort)
+        keys64 = datasets_device.generate("Random", np.uint64, n, seed=22)
+        keys64.block_until_ready()
+        vals = jax.device_put(jnp.arange(n, dtype=jnp.int32))
+        def step(k, v):
+            ko, _, _ = jax.lax.sort(
+                (k, jax.lax.iota(jnp.uint32, n), v), num_keys=2,
+                is_stable=False)
+            return ko
+        secs, t1, tr = timed(step, (keys64, vals))
+        def stable_step(k, v):
+            ko, _ = jax.lax.sort((k, v), num_keys=1, is_stable=True)
+            return ko
+        secs_s, t1_s, tr_s = timed(stable_step, (keys64, vals))
+        def both(k, v):
+            ko_t, _, vo_t = jax.lax.sort(
+                (k, jax.lax.iota(jnp.uint32, n), v), num_keys=2,
+                is_stable=False)
+            ko_s, vo_s = jax.lax.sort((k, v), num_keys=1, is_stable=True)
+            return jnp.all(ko_t == ko_s) & jnp.all(vo_t == vo_s)
+        ok = bool(jax.jit(both)(keys64, vals))
+        print(json.dumps({"probe": "two_key_u64_valid", "ok": ok,
+                          "stable_ms": round(secs_s * 1e3, 2),
+                          "stable_mpairs_s": round(n / secs_s / 1e6, 1)}),
+              flush=True)
+
     else:
         raise SystemExit(f"unknown mode {mode}")
 

@@ -136,7 +136,7 @@ def main():
     if not ok:
         print("VALIDATION FAILED — not measuring", flush=True)
         sys.exit(1)
-    for ln in (log2n, log2n2):
+    for ln in dict.fromkeys((log2n, log2n2)):
         measure(ln)
 
 
