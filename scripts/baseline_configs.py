@@ -40,6 +40,18 @@ def record(name, **kw):
     RESULTS[name] = kw
     print(f"[{name}] " + " ".join(f"{k}={v}" for k, v in kw.items()),
           flush=True)
+    # write-through after EVERY row: r4's cfg34 2^24 run completed
+    # config3 and lost it to the queue timeout because results were only
+    # flushed at exit (results_r4/cfg34_2e24.log, VERDICT r4)
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BASELINE_RESULTS.json")
+    existing = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            existing = json.load(f)
+    existing[name] = kw
+    with open(out_path, "w") as f:
+        json.dump(existing, f, indent=2)
 
 
 def timed(fn, x, reps=64, iters=2):
