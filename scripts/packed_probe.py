@@ -171,6 +171,41 @@ def main():
                           "stable_mpairs_s": round(n / secs_s / 1e6, 1)}),
               flush=True)
 
+    elif mode == "valid_first":
+        # the dist layer's fused validity-first local sort
+        # (parallel/dist_sort.py::_local_sorted_valid_first): 2-key
+        # STABLE (invalid, key) today — would 3-key UNSTABLE with an
+        # iota tie-break win like the single-chip two-key trick does?
+        vals = jax.device_put(jnp.arange(n, dtype=jnp.int32))
+        inv = jax.device_put(
+            (jax.lax.iota(jnp.uint32, n) % jnp.uint32(7) == 0)
+            .astype(jnp.int32))
+        def stable2(k, rest):
+            iv, v = rest
+            out = jax.lax.sort((iv, k, v), num_keys=2, is_stable=True)
+            return out[1]
+        def unstable3(k, rest):
+            iv, v = rest
+            out = jax.lax.sort(
+                (iv, k, jax.lax.iota(jnp.uint32, n), v), num_keys=3,
+                is_stable=False)
+            return out[1]
+        s2, t1a, tra = timed(stable2, (keys32, (inv, vals)))
+        s3, t1b, trb = timed(unstable3, (keys32, (inv, vals)))
+        def both(k, iv, v):
+            a = jax.lax.sort((iv, k, v), num_keys=2, is_stable=True)
+            b = jax.lax.sort(
+                (iv, k, jax.lax.iota(jnp.uint32, n), v), num_keys=3,
+                is_stable=False)
+            return jnp.all(a[1] == b[1]) & jnp.all(a[2] == b[3])
+        ok = bool(jax.jit(both)(keys32, inv, vals))
+        print(json.dumps({
+            "probe": "valid_first", "n": f"2^{log2n}", "equal": ok,
+            "stable2_ms": round(s2 * 1e3, 2),
+            "unstable3_ms": round(s3 * 1e3, 2),
+            "speedup": round(s2 / s3, 3)}), flush=True)
+        return
+
     else:
         raise SystemExit(f"unknown mode {mode}")
 
