@@ -154,11 +154,15 @@ def hash_aggregate(table: Table, key: str,
             fn = jnp.minimum if op == "min" else jnp.maximum
             end_cols[out_name] = _segmented_scan(z, is_new, fn)
 
-    # Compact run-end rows to the front: stable sort by (not run_end).
-    sort_key = jnp.where(run_end, 0, 1).astype(jnp.int32)
+    # Compact run-end rows to the front: a stable binary partition.
+    # method="auto" routes to the streaming Pallas partition where it
+    # measurably beats the sort network (1.12-1.63x at >=2^24 up to 4
+    # planes on v5e — ops/partition.py::_auto_method), else lax.sort.
+    from . import partition as part_ops
+
     names = sorted(end_cols)
-    packed = jax.lax.sort((sort_key,) + tuple(end_cols[n] for n in names),
-                          num_keys=1, is_stable=True)[1:]
+    packed, _ = part_ops.compact_mask(
+        run_end, tuple(end_cols[n] for n in names), method="auto")
     compacted = dict(zip(names, packed))
 
     def finalize(name):

@@ -21,7 +21,11 @@ def filter_table(table: Table, mask: jnp.ndarray,
     mask = jnp.logical_and(mask, table.valid_mask())
     names = table.column_names
     arrays = tuple(table.columns[n] for n in names)
-    out, kept = partition.compact_mask(mask, arrays, block_elems=block_elems)
+    # method="auto": binary compactions dispatch the streaming Pallas
+    # partition at the sizes it measurably beats the sort network
+    # (1.12-1.85x at >=2^24 on v5e — ops/partition.py::_auto_method)
+    out, kept = partition.compact_mask(mask, arrays, block_elems=block_elems,
+                                       method="auto")
     return Table(dict(zip(names, out)), num_rows=kept)
 
 

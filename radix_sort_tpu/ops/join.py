@@ -153,9 +153,12 @@ def _merge_scan_join(probe: Table, build: Table, key: str,
         vals_out.append(stack([mc[1][i] for mc in matched_cols]))
 
     n_match = jnp.sum(matched.astype(jnp.int32))
-    ck = jnp.where(matched, 0, 1).astype(jnp.int32)
-    packed = jax.lax.sort((ck,) + tuple(vals_out), num_keys=1,
-                          is_stable=True)[1:]
+    # binary compaction; method="auto" routes to the streaming Pallas
+    # partition at the sizes it beats the sort network (ops/partition.py)
+    from . import partition as part_ops
+
+    packed, _ = part_ops.compact_mask(matched, tuple(vals_out),
+                                      method="auto")
     n_out = jnp.minimum(n_match, out_capacity)
     out_cols = {nm: v[:out_capacity] for nm, v in zip(names_out, packed)}
     stats = {"match_count": n_match,

@@ -610,11 +610,14 @@ def _round_rows(n: int, rows: int, radix: int = 16) -> int:
     Also enforces the scoped-SMEM bound: the two (R, B) prefetch tables
     cost 2*R*B*4 bytes of SMEM (B 128-padded), and v5e's scoped smem is
     1 MiB — measured overflow at n=2^24/rows=128 with the old (B, R)
-    layout (docs/PROBES.md r4).  Capping R*B <= 32768 (256 KiB of tables)
-    auto-raises ``rows`` with n, so any n compiles: 2^27 at R=16 runs at
-    rows=512 (the r2 ablation measured rows=512 ~22% slower per pass than
-    rows=128 — the price of scale, not a cliff)."""
-    min_rows = -(-(n * radix) // (LANES * 32768))
+    layout (docs/PROBES.md r4).  Capping R*B <= 65536 (512 KiB of
+    tables) auto-raises ``rows`` with n.  The cap interacts with a
+    scoped-VMEM ceiling on ``rows`` itself: at 2^27/R=16 the old 32768
+    cap forced rows=512, whose kernel stack needs 27.7 MiB of the
+    16 MiB scoped vmem (measured r5, results_r5/stream_partition_2e27
+    logs) — 65536 admits rows=256, which fits BOTH budgets (512 KiB
+    tables, ~14 MiB stack; hardware-validated at 2^27 r5)."""
+    min_rows = -(-(n * radix) // (LANES * 65536))
     return -(-max(8, min_rows, min(rows, -(-n // LANES))) // 8) * 8
 
 

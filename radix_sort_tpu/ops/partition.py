@@ -37,11 +37,14 @@ def stable_partition(bucket_ids: jnp.ndarray, arrays, num_buckets: int,
     docs/DESIGN.md §2.2).
     method="stream": ONE streaming Pallas radix pass
     (pallas_stream.partition_planes) — 2 passes/byte of HBM traffic where
-    "sort" pays a full log-depth sort network.  Measured on v5e it LOSES
-    anyway (0.33-0.51x of "sort" at 1-4 payload planes, docs/PROBES.md
-    r4 + DESIGN.md §2.2e: the per-bucket dispatch bound dominates the
-    bandwidth it saves), so no production caller selects it; it remains
-    the validated TPU-native reorder.  Falls back to "sort" when
+    "sort" pays a full log-depth sort network.  The r4 verdict (loses
+    0.33-0.51x at R=16, 2^22) is SIZE- and RADIX-dependent: the r5 sweep
+    found the crossover — the dispatch cost is O(R)/element while the
+    network deepens with n, so at radix 2 the stream pass WINS 1.12-1.85x
+    from 2^24 up, and at radix<=16 single-plane wins 1.12x at 2^27
+    (docs/PROBES.md r5).  method="auto" applies exactly that measured
+    policy (_auto_method); filter/aggregate/join compactions use it.
+    Falls back to "sort" when
     a payload dtype is not 4/8-byte plane-representable, when n == 0, or
     when the bucket count (rounded up to a power of two) exceeds the
     hardware-verified radix cap of 256 (larger radices inflate the
@@ -56,6 +59,8 @@ def stable_partition(bucket_ids: jnp.ndarray, arrays, num_buckets: int,
     """
     n = bucket_ids.shape[0]
     ids = bucket_ids.astype(jnp.int32)
+    if method == "auto":
+        method = _auto_method(n, arrays, num_buckets)
     if method == "stream":
         from . import pallas_stream
 
@@ -140,13 +145,48 @@ def compact_prefix_slots(arrays, counts: jnp.ndarray, slot_len: int):
                                 promote_integers=False)
 
 
-def compact_mask(mask: jnp.ndarray, arrays, block_elems: int = 1 << 16):
+def _auto_method(n: int, arrays, num_buckets: int) -> str:
+    """Measured dispatch policy (v5e r5, results_r5/stream_partition_*):
+    the streaming Pallas partition's O(R)-per-element dispatch loses to
+    the sort network at R=16/small n (0.33-0.52x, r4), but WINS where
+    the dispatch is cheap and the network is deep —
+
+      radix 2 (the filter/compaction shape): 1.12x at 2^24/4 planes up
+      to 1.85x at 2^27/1 plane;
+      radix <=16, single plane: 1.12x at 2^27 (0.99x at 2^26 — tie).
+
+    Callers opting into "auto" must guarantee ids in [0, num_buckets)
+    (the stream kernel wraps out-of-range ids; binary masks qualify).
+    NB: not for use inside shard_map — the Pallas kernel is not
+    validated under vma checking (parallel/dist_sort.py keeps "sort")."""
+    from . import pallas_stream
+
+    planes, _ = pallas_stream.payloads_to_planes(tuple(arrays))
+    if planes is None or n == 0:
+        return "sort"
+    radix = _next_pow2(max(num_buckets, 1))
+    np_ = len(planes)
+    if radix == 2 and ((n >= (1 << 24) and np_ <= 4)
+                       or (n >= (1 << 25) and np_ <= 8)):
+        return "stream"
+    if radix <= 16 and np_ == 1 and n >= (1 << 27):
+        return "stream"
+    return "sort"
+
+
+def compact_mask(mask: jnp.ndarray, arrays, block_elems: int = 1 << 16,
+                 method: str = "sort"):
     """Stable compaction: rows with mask=True move to the front, preserving
     order; returns (compacted_arrays, kept_count).  This is stable_partition
-    with buckets (kept=0, dropped=1)."""
+    with buckets (kept=0, dropped=1).
+
+    ``method="auto"`` dispatches the measured-fastest backend for the
+    shape (see _auto_method) — safe here since the binary bucket is
+    always in range, but NOT for shard_map callers (vma caveat)."""
     bucket = jnp.where(mask, 0, 1).astype(jnp.int32)
     out, counts, _ = stable_partition(bucket, arrays, 2,
-                                      block_elems=block_elems)
+                                      block_elems=block_elems,
+                                      method=method)
     return out, counts[0]
 
 

@@ -136,8 +136,11 @@ def main():
     if not ok:
         print("VALIDATION FAILED — not measuring", flush=True)
         sys.exit(1)
+    nb = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    planes = (tuple(int(p) for p in sys.argv[4].split(","))
+              if len(sys.argv) > 4 else (1, 2, 4))
     for ln in dict.fromkeys((log2n, log2n2)):
-        measure(ln)
+        measure(ln, nplanes_list=planes, nb=nb)
 
 
 if __name__ == "__main__":
