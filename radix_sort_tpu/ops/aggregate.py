@@ -219,9 +219,11 @@ def distinct(table: Table, key: str,
                        jnp.concatenate([jnp.ones((1,), bool),
                                         ku_sorted[1:] != ku_sorted[:-1]])))
     num_distinct = jnp.sum(is_new.astype(jnp.int32))
-    compact_key = jnp.where(is_new, 0, 1).astype(jnp.int32)
-    packed = jax.lax.sort((compact_key,) + cols_sorted,
-                          num_keys=1, is_stable=True)[1:]
+    # binary compaction; "auto" = streaming Pallas partition at the
+    # measured win sizes (ops/partition.py::_auto_method)
+    from . import partition as part_ops
+
+    packed, _ = part_ops.compact_mask(is_new, cols_sorted, method="auto")
     return Table(dict(zip(names, packed)), num_rows=num_distinct)
 
 
